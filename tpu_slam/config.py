@@ -1,0 +1,294 @@
+"""Typed configuration tree with the reference defaults.
+
+One dataclass config tree replacing the reference's three config tiers
+(SURVEY.md §5): launch-file params, YAML rosparam loads
+(`lesson6/config/mapper_params.yaml`, `lesson3/config/plicp_odometry.yaml`),
+and the `karto::Parameter<T>` registry (`Karto.h:266-351`,
+`Mapper.cpp:1448-1653`). Every default cites its reference origin.
+
+All configs are plain (hashable, frozen) dataclasses so they can be passed
+as static args to jit'd functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+def _d(**kw):
+    return dataclasses.field(default_factory=lambda: kw.pop("cls")(**kw))
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """Laser sensor model.
+
+    Defaults follow the lesson bags' lidar (360-beam 2D scans) and
+    `karto::LaserRangeFinder` (Karto.h:3709-4100).
+    """
+
+    num_beams: int = 360
+    angle_min: float = -math.pi
+    angle_increment: float = 2.0 * math.pi / 360.0
+    range_min: float = 0.15  # validity window, scan_to_pointclod2_converter.cc:62
+    range_max: float = 12.0
+    # karto range threshold: use readings only below this (Karto.h:3805)
+    range_threshold: float = 12.0
+    scan_period: float = 0.1  # 10 Hz (SURVEY §6)
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """LIO-SAM-style corner feature extraction (lesson1/src/feature_detection.cc)."""
+
+    half_window: int = 5  # ±5-neighbor curvature window (:112-124)
+    num_sectors: int = 6  # 6 sectors per scan (:139)
+    max_per_sector: int = 20  # ≤20 corners per sector (:158-166)
+    curvature_threshold: float = 1.0  # edge threshold (:160)
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Point-to-point ICP (lesson2/src/scan_match_icp.cc:135-164)."""
+
+    max_iterations: int = 20
+    max_correspondence_dist: float = 1.0
+    convergence_eps: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class PLICPConfig:
+    """CSM PL-ICP parameters (lesson3/src/plicp_odometry.cc:69-186).
+
+    Field names match CSM's `sm_params`; only the subset that affects
+    trajectories on the lesson workloads is implemented (SURVEY §7 hard
+    part f).
+    """
+
+    max_angular_correction_deg: float = 45.0
+    max_linear_correction: float = 1.0
+    max_iterations: int = 10
+    epsilon_xy: float = 1e-6
+    epsilon_theta: float = 1e-6
+    max_correspondence_dist: float = 1.0
+    sigma: float = 0.010
+    use_point_to_line_distance: bool = True
+    outliers_maxPerc: float = 0.90
+    outliers_adaptive_order: float = 0.7
+    outliers_adaptive_mult: float = 2.0
+    orientation_neighbourhood: int = 20
+    do_compute_covariance: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe policy of the PL-ICP odometry (plicp_odometry.cc:60-67, 498-517)."""
+
+    kf_dist_linear: float = 0.1
+    kf_dist_angular: float = 5.0 * math.pi / 180.0
+    kf_scan_count: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Occupancy-grid geometry shared by all map flavors."""
+
+    resolution: float = 0.05  # lesson4 hector default (hector_slam.cc:46)
+    size_x: int = 1024  # cells
+    size_y: int = 1024
+    # world coords of grid cell (0,0) center
+    origin_x: float = -25.6
+    origin_y: float = -25.6
+
+
+@dataclasses.dataclass(frozen=True)
+class LogOddsConfig:
+    """Hector log-odds cell model (map/GridMapLogOdds.h:37-161).
+
+    Library defaults are 0.4/0.6; the hector_slam node overrides to
+    update_free=0.4, update_occupied=0.9 (hector_slam.cc:48-49).
+    """
+
+    p_free: float = 0.4
+    p_occupied: float = 0.9
+    log_odds_max: float = 50.0  # occupied cap (GridMapLogOdds.h:~60)
+    log_odds_min: float = -50.0
+    obstacle_threshold: float = 0.0  # logodds > 0 ⇒ occupied
+
+
+@dataclasses.dataclass(frozen=True)
+class GMappingConfig:
+    """GMapping hit/visit cell model (gmapping/grid/map.h:17-48, gmapping.cc:146-158)."""
+
+    occupancy_threshold: float = 0.25  # n/visits > 0.25 ⇒ occupied
+    patch_magnitude: int = 5  # 32x32 patches (harray2d.h), kept for parity docs
+
+
+@dataclasses.dataclass(frozen=True)
+class HectorConfig:
+    """Hector SLAM (lesson4/src/hector_mapping/hector_slam.cc:40-66 and
+    slam_main/HectorSlamProcessor.h:46-68)."""
+
+    map_resolution: float = 0.05
+    map_size: int = 1024
+    map_start_x: float = 0.5  # normalized start position in map
+    map_start_y: float = 0.5
+    map_multi_res_levels: int = 3
+    update_factor_free: float = 0.4
+    update_factor_occupied: float = 0.9
+    map_update_distance_thresh: float = 0.4  # HectorSlamProcessor.h:66
+    map_update_angle_thresh: float = 0.13  # rad, HectorSlamProcessor.h:67
+    laser_z_min_value: float = -1.0
+    laser_z_max_value: float = 1.0
+    # GN iterations: 3 per coarse level, 5(+1 initial) at finest
+    # (MapRepMultiMap.h:144-167, ScanMatcher.h:60-139)
+    iterations_coarse: int = 3
+    iterations_fine: int = 5
+    max_rot_step: float = 0.2  # ±0.2 rad clamp (ScanMatcher.h:120-135)
+    use_odom_prior: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrelativeConfig:
+    """Karto correlation ScanMatcher parameters (Mapper.cpp:1448-1653 defaults).
+
+    Names mirror the karto::Parameter registry entries.
+    """
+
+    # CorrelationParameters (Mapper.cpp:1546-1573)
+    correlation_search_space_dimension: float = 0.3
+    correlation_search_space_resolution: float = 0.01
+    correlation_search_space_smear_deviation: float = 0.03
+    # search angle (Mapper.cpp:1620-1650)
+    coarse_search_angle_offset: float = math.radians(20.0)
+    coarse_angle_resolution: float = math.radians(2.0)
+    fine_search_angle_offset: float = math.radians(0.2)
+    # penalties (Mapper.cpp:1590-1618; constants Mapper.h DISTANCE/ANGLE_PENALTY_GAIN=0.2)
+    distance_variance_penalty: float = 0.3 * 0.3
+    angle_variance_penalty: float = math.radians(20.0) ** 2
+    minimum_distance_penalty: float = 0.5
+    minimum_angle_penalty: float = 0.9
+    distance_penalty_gain: float = 0.2
+    angle_penalty_gain: float = 0.2
+    use_response_expansion: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Karto loop-closure parameters (Mapper.cpp:1497-1545, 1574-1589)."""
+
+    loop_search_space_dimension: float = 8.0
+    loop_search_space_resolution: float = 0.05
+    loop_search_space_smear_deviation: float = 0.03
+    loop_search_maximum_distance: float = 4.0
+    loop_match_minimum_chain_size: int = 10
+    loop_match_maximum_variance_coarse: float = 0.4 * 0.4
+    loop_match_minimum_response_coarse: float = 0.8
+    loop_match_minimum_response_fine: float = 0.8
+
+
+@dataclasses.dataclass(frozen=True)
+class KartoFrontEndConfig:
+    """Karto Mapper front-end gates (Mapper.cpp:1448-1496)."""
+
+    minimum_travel_distance: float = 0.2  # HasMovedEnough (Mapper.cpp:2087-2120)
+    minimum_travel_heading: float = math.radians(10.0)
+    scan_buffer_size: int = 70  # running scans cap (Mapper.h:1365-1386)
+    scan_buffer_maximum_scan_distance: float = 20.0
+    link_match_minimum_response_fine: float = 0.8
+    link_scan_maximum_distance: float = 10.0
+    use_scan_matching: bool = True
+    use_scan_barycenter: bool = True
+    do_loop_closing: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Pose-graph LM solver, parity with SPA2d (spa2d.cpp:425-609)."""
+
+    max_iterations: int = 40  # doSPA(40), spa_solver.cc:51
+    initial_lambda: float = 1e-4  # sLambda default (spa2d.h)
+    lambda_factor: float = 2.0  # rollback doubling (spa2d.cpp:531-582)
+    convergence_delta: float = 1e-16  # ‖δ‖² threshold
+    cg_iterations: int = 100  # CG cap for the iterative path
+    cg_tolerance: float = 1e-10
+    use_dense_below: int = 512  # nodes; dense Cholesky under this, CG above
+
+
+@dataclasses.dataclass(frozen=True)
+class UndistortConfig:
+    """Motion-distortion correction (lesson5/src/lidar_undistortion.cc)."""
+
+    use_imu: bool = True
+    use_odom: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the distributed paths (SURVEY §2.5)."""
+
+    data_axis: str = "data"  # scan-batch data parallelism
+    graph_axis: str = "graph"  # pose-graph edge sharding
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """Top-level config tree."""
+
+    scan: ScanConfig = dataclasses.field(default_factory=ScanConfig)
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
+    plicp: PLICPConfig = dataclasses.field(default_factory=PLICPConfig)
+    keyframe: KeyframeConfig = dataclasses.field(default_factory=KeyframeConfig)
+    grid: GridConfig = dataclasses.field(default_factory=GridConfig)
+    logodds: LogOddsConfig = dataclasses.field(default_factory=LogOddsConfig)
+    gmapping: GMappingConfig = dataclasses.field(default_factory=GMappingConfig)
+    hector: HectorConfig = dataclasses.field(default_factory=HectorConfig)
+    correlative: CorrelativeConfig = dataclasses.field(
+        default_factory=CorrelativeConfig
+    )
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
+    karto: KartoFrontEndConfig = dataclasses.field(
+        default_factory=KartoFrontEndConfig
+    )
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    undistort: UndistortConfig = dataclasses.field(default_factory=UndistortConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def default_config() -> SLAMConfig:
+    return SLAMConfig()
+
+
+def _update_dataclass(obj, updates: dict):
+    kw = {}
+    for f in dataclasses.fields(obj):
+        cur = getattr(obj, f.name)
+        if f.name in updates:
+            val = updates[f.name]
+            if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+                kw[f.name] = _update_dataclass(cur, val)
+            else:
+                kw[f.name] = val
+        else:
+            kw[f.name] = cur
+    return type(obj)(**kw)
+
+
+def config_from_dict(d: dict, base: Optional[SLAMConfig] = None) -> SLAMConfig:
+    """Build a config from a nested dict (e.g. parsed YAML), overriding defaults.
+
+    The YAML-loadable replacement for rosparam loads of
+    `lesson6/config/mapper_params.yaml` etc.
+    """
+    return _update_dataclass(base or default_config(), d)
+
+
+def config_from_yaml(path: str, base: Optional[SLAMConfig] = None) -> SLAMConfig:
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    return config_from_dict(d, base)
