@@ -65,17 +65,16 @@ def extract_corner_features(scan: Scan, cfg: FeatureConfig) -> jax.Array:
         scan.ranges, scan.valid, cfg.half_window
     )
     idx = jnp.arange(n)
-    # sector of compacted index i: floor(i * S / count); reference sector
-    # boundaries are start=count*j/6, end=count*(j+1)/6-1 (:141-143)
-    denom = jnp.maximum(count[..., None], 1)
-    sector = jnp.clip(
-        (idx * cfg.num_sectors) // denom, 0, cfg.num_sectors - 1
-    )
-
     eligible = curv > cfg.curvature_threshold
+    cnt = count[..., None]
 
     def per_sector(s):
-        score = jnp.where(eligible & (sector == s), curv, -jnp.inf)
+        # reference boundaries (:141-148): start=count*j//S,
+        # end=count*(j+1)//S - 1 inclusive; sector skipped if start >= end
+        start = cnt * s // cfg.num_sectors
+        end = cnt * (s + 1) // cfg.num_sectors - 1
+        member = (idx >= start) & (idx <= end) & (start < end)
+        score = jnp.where(eligible & member, curv, -jnp.inf)
         # top-k over the beam axis, batched over leading axes
         topv, topi = jax.lax.top_k(score, cfg.max_per_sector)
         keep = topv > -jnp.inf
