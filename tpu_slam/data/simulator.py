@@ -59,21 +59,41 @@ class World:
         return World(np.concatenate([self.segments, extra], axis=0))
 
 
-def office_world(seed: int = 0, size: float = 10.0, n_boxes: int = 8) -> World:
+def office_world(
+    seed: int = 0,
+    size: float = 10.0,
+    n_boxes: int = 8,
+    clear_path: np.ndarray | None = None,
+    clearance: float = 0.6,
+) -> World:
     """A feature-rich room: outer walls + random box obstacles.
 
     Rich in corners so scan matching is well-conditioned (the reference's
     PL-ICP is known to fail in feature-poor corridors, README.md:100).
+
+    clear_path: optional (T, >=2) trajectory whose xy must stay at least
+    ``clearance`` away from every obstacle (rejection sampling), so the
+    robot never drives through a box.
     """
     rng = np.random.default_rng(seed)
     h = size / 2
     w = World.box(-h, -h, h, h)
-    for _ in range(n_boxes):
+    path = None if clear_path is None else np.asarray(clear_path)[:, :2]
+    placed = 0
+    for _ in range(n_boxes * 20):
+        if placed >= n_boxes:
+            break
         cx, cy = rng.uniform(-h + 1.5, h - 1.5, size=2)
-        if abs(cx) < 1.2 and abs(cy) < 1.2:
+        if path is None and abs(cx) < 1.2 and abs(cy) < 1.2:
             cx += 2.0  # keep spawn area clear
         bw, bh = rng.uniform(0.3, 1.0, size=2)
+        if path is not None:
+            half_diag = 0.5 * math.hypot(bw, bh)
+            d = np.hypot(path[:, 0] - cx, path[:, 1] - cy).min()
+            if d < clearance + half_diag:
+                continue
         w = w.add_box(cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2)
+        placed += 1
     return w
 
 
