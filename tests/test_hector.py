@@ -1,0 +1,131 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_slam.config import GridConfig, SLAMConfig, default_config
+from tpu_slam.data import simulator as sim
+from tpu_slam.data.scan import make_scan, index_scan
+from tpu_slam.models.gmapping import GMapping
+from tpu_slam.models.hector_slam import HectorSLAM, build_pyramid_cfgs
+from tpu_slam.ops.hector import interp_map_with_derivs, match_multires
+from tpu_slam.utils.evaluation import ate_rmse
+
+
+def small_cfg():
+    cfg = default_config()
+    return dataclasses.replace(
+        cfg,
+        hector=dataclasses.replace(
+            cfg.hector, map_size=256, map_resolution=0.05,
+            map_multi_res_levels=3,
+        ),
+    )
+
+
+def test_bilinear_interp_values_and_grads():
+    size = 8
+    grid = np.zeros((size, size), np.float32)
+    grid[3, 4] = 1.0  # prob 1 at (x=4, y=3)
+    flat = jnp.asarray(grid.reshape(-1))
+    # at the cell itself
+    v, dx, dy = interp_map_with_derivs(flat, size, size, jnp.array([4.0, 3.0]))
+    np.testing.assert_allclose(float(v), 1.0, atol=1e-6)
+    # halfway towards +x neighbor: v=0.5; bilinear grads within the
+    # [4,5)×[3,4) cell: dx = p10−p00 = −1, dy = (1−fx)(p01−p00)+fx(p11−p10)
+    v, dx, dy = interp_map_with_derivs(flat, size, size, jnp.array([4.5, 3.0]))
+    np.testing.assert_allclose(float(v), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(dx), -1.0, atol=1e-6)
+    np.testing.assert_allclose(float(dy), -0.5, atol=1e-6)
+    # out of bounds → zeros
+    v, dx, dy = interp_map_with_derivs(flat, size, size, jnp.array([9.0, 3.0]))
+    assert float(v) == 0.0 and float(dx) == 0.0
+
+
+def test_finite_difference_gradients(rng):
+    size = 16
+    grid = jnp.asarray(rng.uniform(0, 1, (size * size,)), jnp.float32)
+    # keep sample points off cell boundaries: bilinear grads are
+    # discontinuous there and the FD probe must stay inside one cell
+    base = rng.integers(2, 12, (50, 2))
+    frac = rng.uniform(0.2, 0.7, (50, 2))
+    pts = jnp.asarray(base + frac, jnp.float32)
+    v, dx, dy = interp_map_with_derivs(grid, size, size, pts)
+    eps = 1e-2
+    vx1, _, _ = interp_map_with_derivs(
+        grid, size, size, pts + jnp.array([eps, 0.0])
+    )
+    vy1, _, _ = interp_map_with_derivs(
+        grid, size, size, pts + jnp.array([0.0, eps])
+    )
+    np.testing.assert_allclose(
+        np.asarray((vx1 - v) / eps), np.asarray(dx), atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray((vy1 - v) / eps), np.asarray(dy), atol=1e-2
+    )
+
+
+def test_pyramid_cfgs():
+    cfg = small_cfg()
+    g = build_pyramid_cfgs(cfg)
+    assert len(g) == 3
+    assert g[0].resolution == 0.05 and g[0].size_x == 256
+    assert g[1].resolution == 0.1 and g[1].size_x == 128
+    assert g[2].resolution == 0.2 and g[2].size_x == 64
+    # same world footprint
+    assert g[0].origin_x == g[1].origin_x == g[2].origin_x
+
+
+@pytest.fixture(scope="module")
+def hector_seq():
+    cfg = small_cfg()
+    traj = sim.circle_trajectory(60, radius=1.5, angular_rate=0.6)
+    world = sim.office_world(seed=31, size=10.0, clear_path=traj)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, noise_std=0.004, seed=3)
+    scans = make_scan(seq.ranges, cfg.scan, stamp=seq.stamps.astype(np.float32))
+    return cfg, scans, seq
+
+
+def test_hector_slam_tracks(hector_seq):
+    cfg, scans, seq = hector_seq
+    slam = HectorSLAM(cfg)
+    # start at gt start pose so map frame == world frame for ATE w/o align
+    slam.last_pose = jnp.asarray(seq.gt_poses[0], jnp.float32)
+    est = slam.run(scans)
+    ate = ate_rmse(est, seq.gt_poses, align=False)
+    assert ate < 0.06, f"hector ATE {ate:.4f}"
+
+
+def test_hector_map_quality(hector_seq):
+    cfg, scans, seq = hector_seq
+    slam = HectorSLAM(cfg)
+    slam.last_pose = jnp.asarray(seq.gt_poses[0], jnp.float32)
+    slam.run(scans)
+    m = slam.to_ros_map()
+    # a meaningful map: some occupied walls, plenty of free space, unknown rest
+    assert (m == 100).sum() > 100
+    assert (m == 0).sum() > 5000
+    assert (m == -1).sum() > 1000
+
+
+def test_hector_map_only_node(hector_seq):
+    """The lesson4 hector_mapping node: fixed-pose map updates."""
+    cfg, scans, seq = hector_seq
+    slam = HectorSLAM(cfg)
+    for t in range(0, 20):
+        slam.update_only(index_scan(scans, t), seq.gt_poses[t])
+    m = slam.to_ros_map()
+    assert (m == 100).sum() > 50
+
+
+def test_gmapping_map(hector_seq):
+    cfg, scans, seq = hector_seq
+    g = GMapping(cfg)
+    g.run(scans, seq.gt_poses.astype(np.float32))
+    m = g.to_ros_map()
+    assert (m == 100).sum() > 100
+    assert (m == 0).sum() > 5000
+    # occupancy fraction rule: hit cells along walls are stable across scans
+    assert (m == -1).sum() > 1000
