@@ -1,0 +1,502 @@
+"""Karto correlative scan matcher as a tensor program.
+
+TPU-native re-design of `karto::ScanMatcher` (`lesson6/lib/open_karto/src/
+Mapper.cpp:126-856`, `include/open_karto/Mapper.h:900-1110`):
+
+  * correlation grid: base-scan endpoints rasterized + Gaussian smear
+    (AddScan/SmearPoint, Mapper.cpp:699-748 / Mapper.h:971-1087) — here one
+    scatter-max of precomputed kernel patches around every endpoint.
+  * search: the exhaustive triple loop over (x, y, θ) candidates
+    (CorrelateScan, Mapper.cpp:309-424) becomes a gather over a
+    (angles × offsets × beams) index tensor, chunked per angle.
+  * response: Σ grid values at rotated beam cells / (nPoints·100)
+    (GetResponse, Mapper.cpp:819-856). The grid stores the reference's
+    quantized int kernel values (round(exp·100)), and numerators are summed
+    in int32 — so response ties are EXACT, reproducing the reference's
+    tie-averaged best pose (Mapper.cpp:455-487) bit-for-bit where it matters.
+  * covariance: response-weighted second moments
+    (ComputePositionalCovariance :535-633, ComputeAngularCovariance :641-693).
+
+One parameter struct serves both the front-end matcher (0.3 m window) and
+the loop-closure matcher (4–8 m window) — they are the same program with
+different static shapes, as in the reference (two ScanMatcher instances).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam import geometry as geo
+
+MAX_VARIANCE = 500.0  # Mapper.cpp:36
+DISTANCE_PENALTY_GAIN = 0.2  # Mapper.cpp:37
+ANGLE_PENALTY_GAIN = 0.2  # Mapper.cpp:38
+KT_TOLERANCE = 1e-6
+GRID_OCCUPIED = 100  # GridStates_Occupied
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrelativeParams:
+    """Static geometry of one matcher instance (ScanMatcher::Create,
+    Mapper.cpp:126-173)."""
+
+    search_size: float  # total search window (m); 0.3 front-end, 8.0 loop
+    resolution: float  # correlation grid resolution
+    smear_deviation: float
+    range_threshold: float
+    angle_offset: float  # coarse search half-window (rad)
+    angle_res: float  # coarse angular step
+    fine_angle_offset: float  # fine angular step (m_pFineSearchAngleOffset)
+    distance_variance_penalty: float = 0.3**2
+    angle_variance_penalty: float = math.radians(20.0) ** 2
+    minimum_distance_penalty: float = 0.5
+    minimum_angle_penalty: float = 0.9
+
+    @property
+    def n_search(self) -> int:
+        # searchSpaceSideSize (Mapper.cpp:150)
+        return int(round(self.search_size / self.resolution)) + 1
+
+    @property
+    def margin(self) -> int:
+        # pointReadingMargin (Mapper.cpp:154)
+        return int(math.ceil(self.range_threshold / self.resolution))
+
+    @property
+    def half_kernel(self) -> int:
+        # GetHalfKernelSize (Mapper.h:1096-1101): 2σ
+        return int(round(2.0 * self.smear_deviation / self.resolution))
+
+    @property
+    def grid_size(self) -> int:
+        # roi + kernel border on each side (Mapper.h:928, :1016-1022)
+        return self.n_search + 2 * self.margin + 2 * (self.half_kernel + 1)
+
+    @property
+    def center_cell(self) -> int:
+        return self.grid_size // 2
+
+
+def smear_kernel(params: CorrelativeParams) -> np.ndarray:
+    """The reference's quantized Gaussian kernel (CalculateKernel,
+    Mapper.h:1032-1094): int values round(exp(-0.5 (d/σ)²)·100)."""
+    h = params.half_kernel
+    ij = np.arange(-h, h + 1)
+    dx, dy = np.meshgrid(ij, ij, indexing="ij")
+    d = np.hypot(dx * params.resolution, dy * params.resolution)
+    z = np.exp(-0.5 * (d / params.smear_deviation) ** 2)
+    return np.round(z * GRID_OCCUPIED).astype(np.int32)
+
+
+def build_correlation_grid(
+    params: CorrelativeParams,
+    center_xy: jax.Array,
+    pts: jax.Array,
+    valid: jax.Array,
+) -> jax.Array:
+    """Rasterize base-scan world points around ``center_xy`` and smear.
+
+    pts: (K, 2) world points (already view-filtered), valid: (K,).
+    Returns int32 grid (G, G), values 0..100. Scatter-max is associative, so
+    overlapping kernel patches combine exactly like sequential SmearPoint
+    calls (which take per-cell max).
+    """
+    g = params.grid_size
+    c = params.center_cell
+    kern = jnp.asarray(smear_kernel(params))  # (K2h, K2h)
+    h = params.half_kernel
+
+    rel = (pts - center_xy) / params.resolution
+    ix = jnp.round(rel[..., 0]).astype(jnp.int32) + c
+    iy = jnp.round(rel[..., 1]).astype(jnp.int32) + c
+    inb = (ix >= h + 1) & (ix < g - h - 1) & (iy >= h + 1) & (iy < g - h - 1)
+
+    offs = jnp.arange(-h, h + 1)
+    # patch indices around each endpoint: (K, K2h, K2h)
+    px = ix[:, None, None] + offs[None, :, None]
+    py = iy[:, None, None] + offs[None, None, :]
+    flat = py * g + px
+    vals = jnp.where(inb[:, None, None], kern[None, :, :], 0)
+    OOB = g * g + 7
+    flat = jnp.where(inb[:, None, None] & valid[:, None, None], flat, OOB)
+    grid = jnp.zeros((g * g,), jnp.int32)
+    grid = grid.at[flat.reshape(-1)].max(vals.reshape(-1), mode="drop")
+    return grid.reshape(g, g)
+
+
+class CorrelateResult(NamedTuple):
+    best_pose: jax.Array  # (3,) tie-averaged best pose (world)
+    best_response: jax.Array  # scalar float
+    search_probs: jax.Array  # (nY, nX) per-cell max response (coarse only)
+    angle_responses: jax.Array  # (nA,) responses at the best cell
+
+
+def _responses_for_angles(
+    grid_flat,
+    g: int,
+    pts_local,
+    beam_valid,
+    angles,
+    cand_cells_flat,
+):
+    """Numerators (nA, nCand) of the correlation response, int32-exact.
+
+    cand_cells_flat: (nCand,) flat grid index of each candidate position.
+    Beam cell offsets follow the reference's separate rounding of the rotated
+    local point (GridIndexLookup::ComputeOffsets, Karto.h:6455-6500).
+    """
+    res_scale = 1.0  # pts_local are pre-divided by resolution
+
+    def per_angle(angle):
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        rx = c * pts_local[:, 0] - s * pts_local[:, 1]
+        ry = s * pts_local[:, 0] + c * pts_local[:, 1]
+        ox = jnp.round(rx).astype(jnp.int32)
+        oy = jnp.round(ry).astype(jnp.int32)
+        off_flat = oy * g + ox  # (N,)
+        idx = cand_cells_flat[:, None] + off_flat[None, :]  # (nCand, N)
+        ok = beam_valid[None, :] & (idx >= 0) & (idx < g * g)
+        vals = jnp.where(ok, grid_flat[jnp.clip(idx, 0, g * g - 1)], 0)
+        return jnp.sum(vals, axis=-1)  # (nCand,) int32
+
+    return jax.lax.map(per_angle, angles)
+
+
+def correlate_scan(
+    grid: jax.Array,
+    params: CorrelativeParams,
+    grid_center_xy: jax.Array,
+    search_center: jax.Array,
+    scan_pts_laser: jax.Array,
+    beam_valid: jax.Array,
+    x_offsets: np.ndarray,
+    y_offsets: np.ndarray,
+    n_angles: int,
+    angle_offset: float,
+    angle_res: float,
+    do_penalize: bool,
+    params_pen: CorrelativeParams | None = None,
+) -> CorrelateResult:
+    """One CorrelateScan pass (Mapper.cpp:309-523).
+
+    search_center: (3,) pose; candidate poses are center + (dx, dy) over the
+    static offset grids and headings center.θ − angle_offset + i·angle_res.
+    scan_pts_laser: (N, 2) beam endpoints in the LASER frame (the reference's
+    inverse-transformed localPoints, Karto.h:6430-6435).
+    """
+    p = params
+    g = p.grid_size
+    grid_flat = grid.reshape(-1)
+    dtype = scan_pts_laser.dtype
+
+    nX, nY = len(x_offsets), len(y_offsets)
+    xo = jnp.asarray(x_offsets, dtype)
+    yo = jnp.asarray(y_offsets, dtype)
+
+    # candidate grid cells: separate rounding of (center+offset − grid_center)
+    cand_xy = jnp.stack(
+        jnp.meshgrid(yo, xo, indexing="ij"), axis=-1
+    )  # (nY, nX, 2) [y, x]
+    cand_world = search_center[:2] + cand_xy[..., ::-1]
+    rel = (cand_world - grid_center_xy) / p.resolution
+    cix = jnp.round(rel[..., 0]).astype(jnp.int32) + p.center_cell
+    ciy = jnp.round(rel[..., 1]).astype(jnp.int32) + p.center_cell
+    cand_flat = (ciy * g + cix).reshape(-1)  # (nY*nX,)
+
+    angles = search_center[2] - angle_offset + angle_res * jnp.arange(
+        n_angles, dtype=dtype
+    )
+
+    pts_cells = scan_pts_laser / p.resolution
+    nums = _responses_for_angles(
+        grid_flat, g, pts_cells, beam_valid, angles, cand_flat
+    )  # (nA, nY*nX) int32
+    n_beams = jnp.maximum(jnp.sum(beam_valid), 1)
+    resp = nums.astype(dtype) / (GRID_OCCUPIED * n_beams)  # (nA, nCand)
+    resp = resp.reshape(n_angles, nY, nX)
+
+    if do_penalize:
+        sq_dist = xo[None, :] ** 2 + yo[:, None] ** 2  # (nY, nX)
+        dist_pen = 1.0 - DISTANCE_PENALTY_GAIN * sq_dist / p.distance_variance_penalty
+        dist_pen = jnp.maximum(dist_pen, p.minimum_distance_penalty)
+        dth = angles - search_center[2]
+        ang_pen = 1.0 - ANGLE_PENALTY_GAIN * dth**2 / p.angle_variance_penalty
+        ang_pen = jnp.maximum(ang_pen, p.minimum_angle_penalty)
+        pen = dist_pen[None, :, :] * ang_pen[:, None, None]
+        resp = jnp.where(resp > 0.0, resp * pen, resp)  # only nonzero resp
+        # (Mapper.cpp:399-414 penalizes only when response != 0)
+
+    best = jnp.max(resp)
+    ties = resp >= best - KT_TOLERANCE  # DoubleEqual tie set (:455-487)
+    tie_f = ties.astype(dtype)
+    cnt = jnp.sum(tie_f)
+    ax = jnp.sum(tie_f * (search_center[0] + xo)[None, None, :]) / cnt
+    ay = jnp.sum(tie_f * (search_center[1] + yo)[None, :, None]) / cnt
+    acos = jnp.sum(tie_f * jnp.cos(angles)[:, None, None]) / cnt
+    asin = jnp.sum(tie_f * jnp.sin(angles)[:, None, None]) / cnt
+    best_pose = jnp.stack([ax, ay, jnp.arctan2(asin, acos)])
+
+    search_probs = jnp.max(resp, axis=0)  # SearchSpaceProbs (per-cell max)
+    # angle responses at the best (tie-averaged) position's cell
+    brel = (best_pose[:2] - grid_center_xy) / p.resolution
+    bix = jnp.round(brel[0]).astype(jnp.int32) + p.center_cell
+    biy = jnp.round(brel[1]).astype(jnp.int32) + p.center_cell
+    bflat = biy * g + bix
+
+    def ang_resp(angle):
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        rx = c * pts_cells[:, 0] - s * pts_cells[:, 1]
+        ry = s * pts_cells[:, 0] + c * pts_cells[:, 1]
+        idx = bflat + jnp.round(ry).astype(jnp.int32) * g + jnp.round(
+            rx
+        ).astype(jnp.int32)
+        ok = beam_valid & (idx >= 0) & (idx < g * g)
+        return jnp.sum(
+            jnp.where(ok, grid_flat[jnp.clip(idx, 0, g * g - 1)], 0)
+        ).astype(dtype) / (GRID_OCCUPIED * n_beams)
+
+    angle_responses = jax.lax.map(ang_resp, angles)
+    return CorrelateResult(best_pose, best, search_probs, angle_responses)
+
+
+def positional_covariance(
+    params: CorrelativeParams,
+    best_pose: jax.Array,
+    best_response: jax.Array,
+    search_center: jax.Array,
+    x_offsets: np.ndarray,
+    y_offsets: np.ndarray,
+    angle_res: float,
+    search_probs: jax.Array,
+) -> jax.Array:
+    """ComputePositionalCovariance (Mapper.cpp:535-633)."""
+    dtype = best_pose.dtype
+    xo = jnp.asarray(x_offsets, dtype)
+    yo = jnp.asarray(y_offsets, dtype)
+    dx = best_pose[0] - search_center[0]
+    dy = best_pose[1] - search_center[1]
+    keep = search_probs >= best_response - 0.1
+    w = jnp.where(keep, search_probs, 0.0)
+    norm = jnp.sum(w)
+    X = xo[None, :] - dx
+    Y = yo[:, None] - dy
+    vxx = jnp.sum(X**2 * w) / jnp.maximum(norm, KT_TOLERANCE)
+    vxy = jnp.sum(X * Y * w) / jnp.maximum(norm, KT_TOLERANCE)
+    vyy = jnp.sum(Y**2 * w) / jnp.maximum(norm, KT_TOLERANCE)
+    res_step = x_offsets[1] - x_offsets[0] if len(x_offsets) > 1 else params.resolution
+    min_v = 0.1 * res_step**2
+    vxx = jnp.maximum(vxx, min_v)
+    vyy = jnp.maximum(vyy, min_v)
+    mult = 1.0 / jnp.maximum(best_response, KT_TOLERANCE)
+    vth = 4.0 * angle_res**2
+    cov = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype
+    )
+    cov = cov.at[0, 0].set(vxx * mult)
+    cov = cov.at[0, 1].set(vxy * mult)
+    cov = cov.at[1, 0].set(vxy * mult)
+    cov = cov.at[1, 1].set(vyy * mult)
+    cov = cov.at[2, 2].set(vth)
+    # degenerate cases → MAX_VARIANCE (:545-556, :620-633)
+    bad = (best_response < KT_TOLERANCE) | (norm <= KT_TOLERANCE)
+    big = jnp.array(
+        [
+            [MAX_VARIANCE, 0.0, 0.0],
+            [0.0, MAX_VARIANCE, 0.0],
+            [0.0, 0.0, 4.0 * angle_res**2],
+        ],
+        dtype,
+    )
+    return jnp.where(bad, big, cov)
+
+
+def angular_covariance(
+    best_pose: jax.Array,
+    best_response: jax.Array,
+    search_center: jax.Array,
+    angle_offset: float,
+    angle_res: float,
+    angle_responses: jax.Array,
+    cov: jax.Array,
+) -> jax.Array:
+    """ComputeAngularCovariance (Mapper.cpp:641-693); overwrites cov[2,2]."""
+    dtype = best_pose.dtype
+    n = angle_responses.shape[0]
+    angles = search_center[2] - angle_offset + angle_res * jnp.arange(
+        n, dtype=dtype
+    )
+    best_angle = geo.normalize_angle(best_pose[2] - search_center[2]) + search_center[2]
+    keep = angle_responses >= best_response - 0.1
+    w = jnp.where(keep, angle_responses, 0.0)
+    norm = jnp.sum(w)
+    acc = jnp.sum((angles - best_angle) ** 2 * w)
+    vth = jnp.where(
+        norm > KT_TOLERANCE,
+        jnp.where(acc < KT_TOLERANCE, angle_res**2, acc / jnp.maximum(norm, KT_TOLERANCE)),
+        1000.0 * angle_res**2,
+    )
+    return cov.at[2, 2].set(vth)
+
+
+def find_valid_points(
+    pts: jax.Array, valid: jax.Array, viewpoint: jax.Array
+) -> jax.Array:
+    """FindValidPoints (Mapper.cpp:765-813): the reference walks the scan
+    keeping a trailing iterator; each *run* of points ending at an anchor
+    advance (≥10 cm from the previous anchor) is kept iff the determinant
+    test at the run's closing point says the surface faces the viewpoint
+    (ss ≥ 0). Two fixed-shape passes: a forward scan for anchors + per-run
+    verdicts, a backward scan propagating each verdict to its run."""
+    min_sq = 0.1**2
+
+    def fwd(anchor, inp):
+        p, v = inp
+        moved = v & (jnp.sum((anchor - p) ** 2) > min_sq)
+        # reference coefficients (Mapper.cpp:792-800)
+        a = viewpoint[1] - anchor[1]
+        b = anchor[0] - viewpoint[0]
+        cc = anchor[1] * viewpoint[0] - anchor[0] * viewpoint[1]
+        ss = p[0] * a + p[1] * b + cc
+        new_anchor = jnp.where(moved, p, anchor)
+        return new_anchor, (moved, ss >= 0.0)
+
+    first_idx = jnp.argmax(valid)
+    anchor0 = pts[first_idx]
+    _, (moved, ok) = jax.lax.scan(fwd, anchor0, (pts, valid))
+
+    def bwd(pending, inp):
+        m, o = inp
+        verdict = jnp.where(m, o, pending)
+        return verdict, verdict
+
+    _, keep = jax.lax.scan(bwd, jnp.array(True), (moved, ok), reverse=True)
+    return valid & keep
+
+
+class MatchResult(NamedTuple):
+    pose: jax.Array  # (3,) best pose (world)
+    response: jax.Array  # scalar in [0, 1]
+    covariance: jax.Array  # (3, 3)
+
+
+class CorrelativeMatcher:
+    """MatchScan orchestration (Mapper.cpp:184-291): coarse correlate →
+    optional response-expansion (±20°,±40°,±60° widening, :242-272) → fine
+    correlate (doRefineMatch) → covariances.
+
+    The expansion retries are host control flow over separately-jitted
+    fixed-shape correlate programs (three extra angle widths, compile-cached)
+    — the rare-path analogue of the reference's loop.
+    """
+
+    def __init__(self, params: CorrelativeParams, use_response_expansion=True):
+        self.p = params
+        self.use_response_expansion = use_response_expansion
+        p = params
+        res = p.resolution
+        # coarse: half the cells (2×res step) over the search window
+        # (MatchScan, Mapper.cpp:228-236)
+        half = 0.5 * (p.n_search - 1) * res
+        n_coarse = int(round(half * 2.0 / (2.0 * res))) + 1
+        self.coarse_x = np.asarray(
+            [-half + i * 2.0 * res for i in range(n_coarse)], np.float32
+        )
+        self.coarse_y = self.coarse_x.copy()
+        # fine: ±coarse_step/2 at res step → 3 offsets per axis (:275-281)
+        self.fine_x = np.asarray([-res, 0.0, res], np.float32)
+        self.fine_y = self.fine_x.copy()
+        self.n_angles_coarse = (
+            int(round(p.angle_offset * 2.0 / p.angle_res)) + 1
+        )
+        # fine pass: angle window ±coarse_res/2 at fine_angle_offset step
+        self.fine_angle_offset = 0.5 * p.angle_res
+        self.n_angles_fine = (
+            int(round(self.fine_angle_offset * 2.0 / p.fine_angle_offset)) + 1
+        )
+
+        self._build = jax.jit(functools.partial(build_correlation_grid, p))
+        self._coarse_cache = {}
+
+        @jax.jit
+        def _fine(grid, grid_center, center, pts, bvalid):
+            r = correlate_scan(
+                grid, p, grid_center, center, pts, bvalid,
+                self.fine_x, self.fine_y, self.n_angles_fine,
+                self.fine_angle_offset, p.fine_angle_offset,
+                do_penalize=True,
+            )
+            return r
+
+        self._fine = _fine
+
+    def _coarse(self, angle_offset: float, do_penalize: bool):
+        key = (angle_offset, do_penalize)
+        if key not in self._coarse_cache:
+            p = self.p
+            n_ang = int(round(angle_offset * 2.0 / p.angle_res)) + 1
+
+            @jax.jit
+            def f(grid, grid_center, center, pts, bvalid):
+                return correlate_scan(
+                    grid, p, grid_center, center, pts, bvalid,
+                    self.coarse_x, self.coarse_y, n_ang,
+                    angle_offset, p.angle_res, do_penalize=do_penalize,
+                )
+
+            self._coarse_cache[key] = f
+        return self._coarse_cache[key]
+
+    def match(
+        self,
+        base_pts: jax.Array,
+        base_valid: jax.Array,
+        scan_pts_laser: jax.Array,
+        beam_valid: jax.Array,
+        scan_pose: jax.Array,
+        do_penalize: bool = True,
+        do_fine: bool = True,
+    ) -> MatchResult:
+        p = self.p
+        grid_center = scan_pose[:2]
+        grid = self._build(grid_center, base_pts, base_valid)
+
+        coarse = self._coarse(p.angle_offset, do_penalize)(
+            grid, grid_center, scan_pose, scan_pts_laser, beam_valid
+        )
+        best = float(coarse.best_response)
+        angle_offset = p.angle_offset
+        if self.use_response_expansion and best < KT_TOLERANCE:
+            for i in range(3):  # widen by 20° up to 3 times (:242-272)
+                angle_offset += math.radians(20.0)
+                coarse = self._coarse(round(angle_offset, 6), do_penalize)(
+                    grid, grid_center, scan_pose, scan_pts_laser, beam_valid
+                )
+                best = float(coarse.best_response)
+                if best >= KT_TOLERANCE:
+                    break
+
+        cov = positional_covariance(
+            p, coarse.best_pose, coarse.best_response, scan_pose,
+            self.coarse_x, self.coarse_y, p.angle_res, coarse.search_probs,
+        )
+        pose = coarse.best_pose
+        response = coarse.best_response
+        if do_fine:
+            fine = self._fine(
+                grid, grid_center, pose, scan_pts_laser, beam_valid
+            )
+            cov = angular_covariance(
+                fine.best_pose, fine.best_response, pose,
+                self.fine_angle_offset, p.fine_angle_offset,
+                fine.angle_responses, cov,
+            )
+            pose = fine.best_pose
+            response = fine.best_response
+        return MatchResult(pose, jnp.minimum(response, 1.0), cov)
