@@ -1,0 +1,362 @@
+"""Pose-graph Levenberg-Marquardt solver.
+
+The ONE native back-end replacing the reference's four interchangeable
+solvers (SURVEY §2.3): vendored SPA2d (`lesson6/lib/sparse_bundle_adjustment/
+src/spa2d.cpp:425-609`), g2o, Ceres, and GTSAM adapters. Its surface mirrors
+`karto::ScanSolver` (Mapper.h:825-891): AddNode / AddConstraint / Compute.
+
+Residual model (identical to SpaSolver's Con2dP2 and Ceres's
+pose_graph_2d_error_term.h:59-102):
+    r_xy = R(θi)ᵀ (t_j − t_i) − ẑ_xy
+    r_θ  = normalize(θ_j − θ_i − ẑ_θ)
+weighted by the 3×3 information (precision) matrix Ω = covariance⁻¹
+(spa_solver.cc:43-91 inverts the link covariance).
+
+TPU-native design (SURVEY §7 stage 7): no sparse Cholesky. Edges live in
+fixed-capacity batched arrays; residuals/Jacobians are one batched einsum;
+normal equations are assembled by scatter-add of 3×3 blocks. Two solve paths:
+  * dense blocked Cholesky for small graphs (exact, one LAPACK/XLA solve)
+  * block-Jacobi preconditioned CG with an edge-wise matvec for large graphs
+    (the bpcg.h analogue) — the matvec is gather + batched 3×3 matmul +
+    segment-sum, which shards cleanly over devices (edges axis + psum).
+The LM accept/reject loop reproduces doSPA: λ×0.5 on improvement, λ×laminc
+with laminc doubling on failure, stop on ‖δ‖² < 1e-16 (spa2d.cpp:531-582).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam.config import SolverConfig
+
+
+def _rot(th):
+    c, s = jnp.cos(th), jnp.sin(th)
+    return jnp.stack(
+        [jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2
+    )  # (..., 2, 2)
+
+
+def edge_residuals(poses, ei, ej, means):
+    """(E, 3) residuals of the relative-pose constraints."""
+    pi = poses[ei]
+    pj = poses[ej]
+    Rt = jnp.swapaxes(_rot(pi[:, 2]), -1, -2)
+    dt = pj[:, :2] - pi[:, :2]
+    rxy = jnp.einsum("eab,eb->ea", Rt, dt) - means[:, :2]
+    rth = pj[:, 2] - pi[:, 2] - means[:, 2]
+    rth = jnp.arctan2(jnp.sin(rth), jnp.cos(rth))
+    return jnp.concatenate([rxy, rth[:, None]], axis=-1)
+
+
+def edge_jacobians(poses, ei, ej):
+    """Analytic Jacobians (E,3,3)×2 wrt nodes i and j (Con2dP2 setJacobians
+    semantics; same as pose_graph_2d_error_term.h)."""
+    pi = poses[ei]
+    pj = poses[ej]
+    th = pi[:, 2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    dt = pj[:, :2] - pi[:, :2]
+    # dRᵀ/dθ · dt
+    drx = -s * dt[:, 0] + c * dt[:, 1]
+    dry = -c * dt[:, 0] - s * dt[:, 1]
+    zeros = jnp.zeros_like(c)
+    ones = jnp.ones_like(c)
+    Ji = jnp.stack(
+        [
+            jnp.stack([-c, -s, drx], -1),
+            jnp.stack([s, -c, dry], -1),
+            jnp.stack([zeros, zeros, -ones], -1),
+        ],
+        -2,
+    )
+    Jj = jnp.stack(
+        [
+            jnp.stack([c, s, zeros], -1),
+            jnp.stack([-s, c, zeros], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        -2,
+    )
+    return Ji, Jj
+
+
+def graph_cost(poses, ei, ej, means, infos, mask):
+    r = edge_residuals(poses, ei, ej, means)
+    w = mask.astype(poses.dtype)
+    return jnp.sum(w * jnp.einsum("ea,eab,eb->e", r, infos, r))
+
+
+def normal_equations(poses, ei, ej, means, infos, mask, n_nodes_max):
+    """Scatter-assembled blocks: H_ii/H_jj/H_ij and gradient b = Jᵀ Ω r.
+
+    Returns (Hd (M,3,3) diagonal blocks, rows of off-diag contributions via
+    (E,3,3) with their indices, b (M,3)). Kept in block form so both dense
+    and CG paths can consume it.
+    """
+    r = edge_residuals(poses, ei, ej, means)
+    Ji, Jj = edge_jacobians(poses, ei, ej)
+    w = mask.astype(poses.dtype)
+    wi = infos * w[:, None, None]
+    JiW = jnp.einsum("eba,ebc->eac", Ji, wi)  # Jiᵀ Ω
+    JjW = jnp.einsum("eba,ebc->eac", Jj, wi)
+    Hii = jnp.einsum("eab,ebc->eac", JiW, Ji)
+    Hjj = jnp.einsum("eab,ebc->eac", JjW, Jj)
+    Hij = jnp.einsum("eab,ebc->eac", JiW, Jj)
+    bi = jnp.einsum("eab,eb->ea", JiW, r)
+    bj = jnp.einsum("eab,eb->ea", JjW, r)
+
+    Hd = jnp.zeros((n_nodes_max, 3, 3), poses.dtype)
+    Hd = Hd.at[ei].add(Hii)
+    Hd = Hd.at[ej].add(Hjj)
+    b = jnp.zeros((n_nodes_max, 3), poses.dtype)
+    b = b.at[ei].add(bi)
+    b = b.at[ej].add(bj)
+    return Hd, Hij, b
+
+
+def dense_solve(Hd, Hij, ei, ej, b, lam, free_mask):
+    """Assemble the full (3M, 3M) system and solve Hδ = −b by Cholesky.
+
+    free_mask (M,): False rows are gauge-fixed (node 0, nFixed=1 in
+    spa_solver.cc) — their rows/cols are identity/zero.
+    LM damping is multiplicative on the block diagonal: diag *= (1+λ)
+    (setupSys, spa2d.cpp:300-310).
+    """
+    M = Hd.shape[0]
+    dt = Hd.dtype
+    eye3 = jnp.eye(3, dtype=dt)
+    Hd = Hd + 1e-12 * eye3  # keep unused nodes invertible
+    Hd = Hd.at[:, jnp.arange(3), jnp.arange(3)].mul(1.0 + lam)
+
+    H = jnp.zeros((M, 3, M, 3), dt)
+    H = H.at[jnp.arange(M), :, jnp.arange(M), :].set(Hd)
+    H = H.at[ei, :, ej, :].add(Hij)
+    H = H.at[ej, :, ei, :].add(jnp.swapaxes(Hij, -1, -2))
+
+    fm = free_mask.astype(dt)
+    H = H * fm[:, None, None, None] * fm[None, None, :, None]
+    # fixed/unused nodes: identity diagonal so the solve stays well-posed
+    H = H.at[jnp.arange(M), :, jnp.arange(M), :].add(
+        (1.0 - fm)[:, None, None] * eye3
+    )
+    bb = b * fm[:, None]
+
+    Hf = H.reshape(3 * M, 3 * M)
+    delta = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(Hf), -bb.reshape(-1)
+    )
+    return delta.reshape(M, 3)
+
+
+def cg_matvec(x, Hd_damped, Hij, ei, ej, free_mask):
+    """y = H x with H in block form — the shardable edge-wise matvec."""
+    fm = free_mask.astype(x.dtype)
+    x = x * fm[:, None]
+    y = jnp.einsum("mab,mb->ma", Hd_damped, x)
+    xi = x[ei]
+    xj = x[ej]
+    y = y.at[ei].add(jnp.einsum("eab,eb->ea", Hij, xj))
+    y = y.at[ej].add(jnp.einsum("eba,eb->ea", Hij, xi))
+    y = y * fm[:, None] + x * (1.0 - fm[:, None])
+    return y
+
+
+def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol):
+    """Block-Jacobi preconditioned CG (the bpcg.h analogue)."""
+    dt = Hd.dtype
+    eye3 = jnp.eye(3, dtype=dt)
+    Hdd = Hd + 1e-12 * eye3
+    Hdd = Hdd.at[:, jnp.arange(3), jnp.arange(3)].mul(1.0 + lam)
+    fm = free_mask.astype(dt)
+    Hdd_solve = Hdd * fm[:, None, None] + (1.0 - fm)[:, None, None] * eye3
+    Minv = jnp.linalg.inv(Hdd_solve)
+
+    bb = -b * fm[:, None]
+    x0 = jnp.zeros_like(bb)
+
+    def mv(x):
+        return cg_matvec(x, Hdd, Hij, ei, ej, free_mask)
+
+    def precond(r):
+        return jnp.einsum("mab,mb->ma", Minv, r)
+
+    def body(carry, _):
+        x, r, z, p, rz = carry
+        Ap = mv(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new), jnp.sum(r * r)
+
+    r0 = bb - mv(x0)
+    z0 = precond(r0)
+    (x, r, _, _, _), _ = jax.lax.scan(
+        body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None, length=iters
+    )
+    return x
+
+
+class SolveStats(NamedTuple):
+    iterations: int
+    initial_cost: float
+    final_cost: float
+
+
+class PoseGraphSolver:
+    """Host-facing incremental graph with device-side batched solving.
+
+    Mirrors the ScanSolver ABC: AddNode (spa_solver.cc:24-31), AddConstraint
+    (:33-41, information = covariance⁻¹ computed here like the SpaSolver),
+    Compute = doSPA(max_iterations) + corrections harvest (:43-91).
+
+    Capacities grow in power-of-two buckets so jitted shapes are reused.
+    """
+
+    def __init__(self, cfg: SolverConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self._poses: list[np.ndarray] = []
+        self._edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+        self._ids: dict[int, int] = {}  # external id → dense index
+
+    # --- ScanSolver surface -------------------------------------------------
+    def add_node(self, node_id: int, pose) -> None:
+        self._ids[node_id] = len(self._poses)
+        self._poses.append(np.asarray(pose, np.float64))
+
+    def add_constraint(
+        self, id_from: int, id_to: int, mean, covariance=None, information=None
+    ) -> None:
+        if information is None:
+            information = np.linalg.inv(np.asarray(covariance, np.float64))
+        self._edges.append(
+            (
+                self._ids[id_from],
+                self._ids[id_to],
+                np.asarray(mean, np.float64),
+                np.asarray(information, np.float64),
+            )
+        )
+
+    def get_poses(self) -> np.ndarray:
+        return np.asarray(self._poses)
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self._poses)
+
+    @property
+    def num_edges(self) -> int:
+        return len(self._edges)
+
+    # --- compute ------------------------------------------------------------
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 16
+        while b < n:
+            b *= 2
+        return b
+
+    def compute(self, max_iterations: int | None = None) -> SolveStats:
+        """Run LM; updates stored poses in place (CorrectPoses harvest)."""
+        cfg = self.cfg
+        iters = max_iterations or cfg.max_iterations
+        M = self._bucket(max(self.num_nodes, 2))
+        E = self._bucket(max(self.num_edges, 1))
+        use_dense = self.num_nodes <= cfg.use_dense_below
+
+        poses = np.zeros((M, 3))
+        poses[: self.num_nodes] = np.asarray(self._poses)
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        means = np.zeros((E, 3))
+        infos = np.zeros((E, 3, 3))
+        mask = np.zeros(E, bool)
+        for k, (i, j, m, w) in enumerate(self._edges):
+            ei[k], ej[k], means[k], infos[k], mask[k] = i, j, m, w, True
+        free = np.zeros(M, bool)
+        free[1 : self.num_nodes] = True  # node 0 gauge-fixed (nFixed=1)
+
+        jd = functools.partial(jnp.asarray, dtype=self.dtype)
+        poses_d = jd(poses)
+        ei_d, ej_d = jnp.asarray(ei), jnp.asarray(ej)
+        means_d, infos_d = jd(means), jd(infos)
+        mask_d = jnp.asarray(mask)
+        free_d = jnp.asarray(free)
+
+        cost_fn = jax.jit(
+            lambda p: graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
+        )
+
+        if use_dense:
+
+            @jax.jit
+            def step(p, lam):
+                Hd, Hij, b = normal_equations(
+                    p, ei_d, ej_d, means_d, infos_d, mask_d, M
+                )
+                return dense_solve(Hd, Hij, ei_d, ej_d, b, lam, free_d)
+
+        else:
+
+            @jax.jit
+            def step(p, lam):
+                Hd, Hij, b = normal_equations(
+                    p, ei_d, ej_d, means_d, infos_d, mask_d, M
+                )
+                return cg_solve(
+                    Hd, Hij, ei_d, ej_d, b, lam, free_d,
+                    cfg.cg_iterations, cfg.cg_tolerance,
+                )
+
+        @jax.jit
+        def apply(p, delta):
+            out = p + delta
+            th = jnp.arctan2(jnp.sin(out[:, 2]), jnp.cos(out[:, 2]))
+            return jnp.concatenate([out[:, :2], th[:, None]], axis=-1)
+
+        # doSPA LM loop (spa2d.cpp:455-607)
+        lam = cfg.initial_lambda
+        laminc = 2.0
+        cost = float(cost_fn(poses_d))
+        cost0 = cost
+        good = 0
+        for it in range(iters):
+            delta = step(poses_d, lam)
+            sq = float(jnp.sum(delta * delta))
+            if sq < 1e-16:  # sqMinDelta (spa2d.cpp:458)
+                break
+            new_poses = apply(poses_d, delta)
+            new_cost = float(cost_fn(new_poses))
+            if new_cost < cost:
+                poses_d = new_poses
+                cost = new_cost
+                lam *= 0.5
+                good += 1
+            else:
+                lam *= laminc
+                laminc *= 2.0
+
+        out = np.asarray(poses_d, np.float64)
+        out[0] = self._poses[0]  # fixed node untouched
+        for k in range(self.num_nodes):
+            self._poses[k] = out[k]
+        return SolveStats(good, cost0, cost)
+
+    def clear(self) -> None:
+        """ScanSolver::Clear — drop graph (karto re-adds after loop)."""
+        self._poses.clear()
+        self._edges.clear()
+        self._ids.clear()
