@@ -1,0 +1,487 @@
+"""Karto-style pose-graph SLAM pipeline.
+
+TPU-native re-design of `karto::Mapper::Process` and `MapperGraph`
+(`lesson6/lib/open_karto/src/Mapper.cpp:1999-2120, 860-1414`) plus the
+`SlamKarto` ROS wrapper's scan flow (`lesson6/src/karto_slam.cc:286-505`):
+
+  Process(scan, odom_pose):
+    1. propagate last correction onto the new odometric pose (:2023-2024)
+    2. HasMovedEnough gate (0.2 m / 10°, :2087-2120)
+    3. correlative match vs running scans (ops/correlative.py)  → SetSensorPose
+    4. AddVertex → solver AddNode (:883-899)
+    5. AddEdges: previous scan, running chain, near chains (:902-973)
+       + inverse-covariance weighted pose mean (:1288-1330)
+    6. AddRunningScan ring buffer (Mapper.h:1365-1386)
+    7. TryCloseLoop: candidate chains → coarse loop match → variance gate →
+       fine match gate → LinkChainToScan → CorrectPoses (:976-1051)
+
+Architecture split (SURVEY §7 hard part b): all data-dependent control flow
+(gates, chain building, BFS near-linked search, loop candidate scan) runs on
+host over plain numpy pose arrays; every numeric hot loop (correlation
+search, matching, LM solve) is a fixed-shape jitted device program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam import geometry as geo
+from tpu_slam.config import SLAMConfig
+from tpu_slam.data.scan import Scan, index_scan
+from tpu_slam.ops.correlative import (
+    CorrelativeMatcher,
+    CorrelativeParams,
+    MatchResult,
+    find_valid_points,
+)
+from tpu_slam.solver.pose_graph import PoseGraphSolver
+
+
+@dataclasses.dataclass
+class ScanRecord:
+    """LocalizedRangeScan analogue (Karto.h:5171-5470): laser-frame points
+    are immutable; world data derives from the (mutable) corrected pose."""
+
+    state_id: int
+    pts_laser: np.ndarray  # (N, 2)
+    beam_valid: np.ndarray  # (N,) in-range & finite
+    bary_local: np.ndarray  # (2,) mean of valid laser points
+    odom_pose: np.ndarray  # (3,)
+    corrected_pose: np.ndarray  # (3,) sensor pose (updated by matching/solver)
+
+    def reference_position(self, use_barycenter: bool) -> np.ndarray:
+        """GetReferencePose (Karto.h:5280-5299)."""
+        if not use_barycenter:
+            return self.corrected_pose[:2]
+        c, s = math.cos(self.corrected_pose[2]), math.sin(self.corrected_pose[2])
+        bx, by = self.bary_local
+        return self.corrected_pose[:2] + np.array(
+            [c * bx - s * by, s * bx + c * by]
+        )
+
+
+def _np_compose(a, b):
+    """Host-side f64 pose composition (keeps bookkeeping at full precision)."""
+    c, s = math.cos(a[2]), math.sin(a[2])
+    th = a[2] + b[2]
+    return np.array(
+        [
+            a[0] + c * b[0] - s * b[1],
+            a[1] + s * b[0] + c * b[1],
+            math.atan2(math.sin(th), math.cos(th)),
+        ]
+    )
+
+
+def _np_rel(a, b):
+    c, s = math.cos(a[2]), math.sin(a[2])
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    th = b[2] - a[2]
+    return np.array(
+        [
+            c * dx + s * dy,
+            -s * dx + c * dy,
+            math.atan2(math.sin(th), math.cos(th)),
+        ]
+    )
+
+
+class KartoSLAM:
+    def __init__(self, cfg: SLAMConfig):
+        self.cfg = cfg
+        c = cfg.correlative
+        rng_th = cfg.scan.range_threshold
+        self.front_matcher = CorrelativeMatcher(
+            CorrelativeParams(
+                search_size=c.correlation_search_space_dimension,
+                resolution=c.correlation_search_space_resolution,
+                smear_deviation=c.correlation_search_space_smear_deviation,
+                range_threshold=rng_th,
+                angle_offset=c.coarse_search_angle_offset,
+                angle_res=c.coarse_angle_resolution,
+                fine_angle_offset=c.fine_search_angle_offset,
+                distance_variance_penalty=c.distance_variance_penalty,
+                angle_variance_penalty=c.angle_variance_penalty,
+                minimum_distance_penalty=c.minimum_distance_penalty,
+                minimum_angle_penalty=c.minimum_angle_penalty,
+            ),
+            use_response_expansion=c.use_response_expansion,
+        )
+        lp = cfg.loop
+        self.loop_matcher = CorrelativeMatcher(
+            CorrelativeParams(
+                search_size=lp.loop_search_space_dimension,
+                resolution=lp.loop_search_space_resolution,
+                smear_deviation=lp.loop_search_space_smear_deviation,
+                range_threshold=rng_th,
+                angle_offset=c.coarse_search_angle_offset,
+                angle_res=c.coarse_angle_resolution,
+                fine_angle_offset=c.fine_search_angle_offset,
+            ),
+            use_response_expansion=c.use_response_expansion,
+        )
+        self.solver = PoseGraphSolver(cfg.solver)
+        self.scans: list[ScanRecord] = []
+        self.running: deque[int] = deque()
+        self.adjacency: dict[int, set[int]] = {}
+        self._last_scan_id: int | None = None
+        self.loop_closures = 0
+        self._base_buckets = {}
+
+        vp_filter = jax.jit(jax.vmap(find_valid_points, in_axes=(0, 0, None)))
+        self._view_filter = vp_filter
+        self._world_pts = jax.jit(
+            lambda poses, pts: geo.apply(poses[:, None, :], pts)
+        )
+
+    # --- scan bookkeeping ---------------------------------------------------
+    def _make_record(self, scan: Scan, odom_pose: np.ndarray) -> ScanRecord:
+        pts = np.asarray(scan.points())
+        valid = np.asarray(scan.valid) & np.isfinite(pts).all(-1)
+        r = np.asarray(scan.ranges)
+        valid &= r <= self.cfg.scan.range_threshold
+        pts = np.where(valid[:, None], pts, 0.0)
+        bary = pts[valid].mean(axis=0) if valid.any() else np.zeros(2)
+        return ScanRecord(
+            state_id=len(self.scans),
+            pts_laser=pts.astype(np.float32),
+            beam_valid=valid,
+            bary_local=bary,
+            odom_pose=np.asarray(odom_pose, np.float64),
+            corrected_pose=np.asarray(odom_pose, np.float64).copy(),
+        )
+
+    def _has_moved_enough(self, rec: ScanRecord) -> bool:
+        """HasMovedEnough (Mapper.cpp:2087-2120): odometric travel gates."""
+        if self._last_scan_id is None:
+            return True
+        last = self.scans[self._last_scan_id]
+        k = self.cfg.karto
+        d = rec.odom_pose[:2] - last.odom_pose[:2]
+        dth = abs(
+            math.atan2(
+                math.sin(rec.odom_pose[2] - last.odom_pose[2]),
+                math.cos(rec.odom_pose[2] - last.odom_pose[2]),
+            )
+        )
+        return (
+            dth >= k.minimum_travel_heading
+            or d @ d >= k.minimum_travel_distance**2
+        )
+
+    # --- matching helpers ---------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        b = 4
+        while b < n:
+            b *= 2
+        return b
+
+    def _base_points(self, ids: list[int], viewpoint: np.ndarray):
+        """AddScans: world points of base scans, view-filtered
+        (Mapper.cpp:699-763), padded to a power-of-two scan count."""
+        cap = self._bucket(max(len(ids), 1))
+        n = self.scans[ids[0]].pts_laser.shape[0]
+        poses = np.zeros((cap, 3), np.float32)
+        pts = np.zeros((cap, n, 2), np.float32)
+        valid = np.zeros((cap, n), bool)
+        for k, i in enumerate(ids):
+            rec = self.scans[i]
+            poses[k] = rec.corrected_pose
+            pts[k] = rec.pts_laser
+            valid[k] = rec.beam_valid
+        wp = self._world_pts(jnp.asarray(poses), jnp.asarray(pts))
+        keep = self._view_filter(
+            wp, jnp.asarray(valid), jnp.asarray(viewpoint, jnp.float32)
+        )
+        return wp.reshape(-1, 2), keep.reshape(-1)
+
+    def _match(
+        self, matcher: CorrelativeMatcher, rec: ScanRecord, ids: list[int],
+        center_pose: np.ndarray, do_penalize=True, do_fine=True,
+    ) -> MatchResult:
+        base_pts, base_valid = self._base_points(ids, center_pose[:2])
+        return matcher.match(
+            base_pts,
+            base_valid,
+            jnp.asarray(rec.pts_laser),
+            jnp.asarray(rec.beam_valid),
+            jnp.asarray(center_pose, jnp.float32),
+            do_penalize=do_penalize,
+            do_fine=do_fine,
+        )
+
+    # --- graph helpers ------------------------------------------------------
+    def _link(self, i: int, j: int, mean_pose_j: np.ndarray, cov: np.ndarray):
+        """LinkScans (Mapper.cpp:1104-1122): edge i→j with measurement =
+        pose_j expressed in scan i's sensor frame (LinkInfo pose difference),
+        skipped if the edge already exists."""
+        if j in self.adjacency.get(i, set()):
+            return
+        self.adjacency.setdefault(i, set()).add(j)
+        self.adjacency.setdefault(j, set()).add(i)
+        mean = _np_rel(self.scans[i].corrected_pose, mean_pose_j)
+        self.solver.add_constraint(i, j, mean, covariance=np.asarray(cov, np.float64))
+
+    def _link_chain(self, chain: list[int], j: int, mean_pose_j, cov):
+        """LinkChainToScan (Mapper.cpp:1152-1167): link the chain scan
+        closest to scan j's reference pose."""
+        k = self.cfg.karto
+        ref = self.scans[j].reference_position(k.use_scan_barycenter)
+        best, best_d = None, np.inf
+        for i in chain:
+            d = np.sum(
+                (self.scans[i].reference_position(k.use_scan_barycenter) - ref)
+                ** 2
+            )
+            if d < best_d:
+                best, best_d = i, d
+        if best is not None and best_d < k.link_scan_maximum_distance**2 + 1e-6:
+            self._link(best, j, mean_pose_j, cov)
+
+    def _near_linked_scans(self, sid: int, max_dist: float) -> list[int]:
+        """FindNearLinkedScans (Mapper.cpp:1278-1286): BFS over graph edges,
+        expanding only through vertices within max_dist of the scan's
+        reference pose (NearScanVisitor, Mapper.h:619-648)."""
+        k = self.cfg.karto
+        ref = self.scans[sid].reference_position(k.use_scan_barycenter)
+        seen = {sid}
+        out = []
+        q = deque([sid])
+        while q:
+            v = q.popleft()
+            pos = self.scans[v].reference_position(k.use_scan_barycenter)
+            if np.sum((pos - ref) ** 2) < max_dist**2 + 1e-6:
+                out.append(v)
+                for w in self.adjacency.get(v, ()):  # expand accepted only
+                    if w not in seen:
+                        seen.add(w)
+                        q.append(w)
+        return out
+
+    def _find_near_chains(self, sid: int) -> list[list[int]]:
+        """FindNearChains (Mapper.cpp:1170-1275)."""
+        k = self.cfg.karto
+        ref = self.scans[sid].reference_position(k.use_scan_barycenter)
+        max_d2 = k.link_scan_maximum_distance**2 + 1e-6
+        processed = set()
+        chains = []
+        for near in self._near_linked_scans(sid, k.link_scan_maximum_distance):
+            if near == sid or near in processed:
+                continue
+            processed.add(near)
+            valid_chain = True
+            chain = []
+            for cand in range(near - 1, -1, -1):  # scans before
+                if cand == sid:
+                    valid_chain = False
+                pos = self.scans[cand].reference_position(k.use_scan_barycenter)
+                if np.sum((pos - ref) ** 2) < max_d2:
+                    chain.insert(0, cand)
+                    processed.add(cand)
+                else:
+                    break
+            chain.append(near)
+            for cand in range(near + 1, len(self.scans)):  # scans after
+                if cand == sid:
+                    valid_chain = False
+                pos = self.scans[cand].reference_position(k.use_scan_barycenter)
+                if np.sum((pos - ref) ** 2) < max_d2:
+                    chain.append(cand)
+                    processed.add(cand)
+                else:
+                    break
+            if valid_chain:
+                chains.append(chain)
+        return chains
+
+    def _add_edges(self, rec: ScanRecord, cov: np.ndarray):
+        """AddEdges (Mapper.cpp:902-973)."""
+        sid = rec.state_id
+        means, covs = [], []
+        if self._last_scan_id is not None:
+            # 1) previous scan
+            self._link(sid - 1, sid, rec.corrected_pose, cov)
+            # 2) running chain (one edge to the closest running scan)
+            means.append(rec.corrected_pose.copy())
+            covs.append(np.asarray(cov, np.float64))
+            self._link_chain(list(self.running), sid, rec.corrected_pose, cov)
+        # 3) near chains
+        k = self.cfg.karto
+        for chain in self._find_near_chains(sid):
+            if len(chain) < self.cfg.loop.loop_match_minimum_chain_size:
+                continue
+            res = self._match(
+                self.front_matcher, rec, chain, rec.corrected_pose,
+                do_penalize=False,
+            )
+            if float(res.response) > k.link_match_minimum_response_fine - 1e-6:
+                mean = np.asarray(res.pose, np.float64)
+                c = np.asarray(res.covariance, np.float64)
+                means.append(mean)
+                covs.append(c)
+                self._link_chain(chain, sid, mean, c)
+        if means:
+            rec.corrected_pose = self._weighted_mean(means, covs)
+
+    @staticmethod
+    def _weighted_mean(means, covs) -> np.ndarray:
+        """ComputeWeightedMean (Mapper.cpp:1288-1330)."""
+        invs = [np.linalg.inv(c) for c in covs]
+        w_total = np.linalg.inv(np.sum(invs, axis=0))
+        acc = np.zeros(3)
+        tx = ty = 0.0
+        for m, inv in zip(means, invs):
+            acc += w_total @ inv @ m
+            tx += math.cos(m[2])
+            ty += math.sin(m[2])
+        acc[2] = math.atan2(ty / len(means), tx / len(means))
+        return acc
+
+    def _add_running(self, sid: int):
+        """AddRunningScan (Mapper.h:1365-1386)."""
+        self.running.append(sid)
+        k = self.cfg.karto
+        while len(self.running) > 1:
+            front = self.scans[self.running[0]]
+            back = self.scans[self.running[-1]]
+            d2 = np.sum(
+                (back.corrected_pose[:2] - front.corrected_pose[:2]) ** 2
+            )
+            if (
+                len(self.running) > k.scan_buffer_size
+                or d2 > k.scan_buffer_maximum_scan_distance**2 - 1e-6
+            ):
+                self.running.popleft()
+            else:
+                break
+
+    def _find_possible_loop(self, sid: int, start: int):
+        """FindPossibleLoopClosure (Mapper.cpp:1333-1394). Returns
+        (chain, next_start)."""
+        lp = self.cfg.loop
+        k = self.cfg.karto
+        ref = self.scans[sid].reference_position(k.use_scan_barycenter)
+        near_linked = set(
+            self._near_linked_scans(sid, lp.loop_search_maximum_distance)
+        )
+        chain = []
+        n = len(self.scans)
+        i = start
+        while i < n:
+            cand = self.scans[i]
+            pos = cand.reference_position(k.use_scan_barycenter)
+            d2 = np.sum((pos - ref) ** 2)
+            if d2 < lp.loop_search_maximum_distance**2 + 1e-6:
+                if i in near_linked:
+                    chain = []
+                else:
+                    chain.append(i)
+            else:
+                if len(chain) >= lp.loop_match_minimum_chain_size:
+                    return chain, i
+                chain = []
+            i += 1
+        return (
+            chain if len(chain) >= lp.loop_match_minimum_chain_size else [],
+            n,
+        )
+
+    def _correct_poses(self):
+        """CorrectPoses (Mapper.cpp:1397-1414): solve + write back."""
+        self.solver.compute()
+        out = self.solver.get_poses()
+        for rec, p in zip(self.scans, out):
+            rec.corrected_pose = np.asarray(p, np.float64)
+
+    def _try_close_loop(self, rec: ScanRecord) -> bool:
+        """TryCloseLoop (Mapper.cpp:976-1051)."""
+        lp = self.cfg.loop
+        k = self.cfg.karto
+        sid = rec.state_id
+        closed = False
+        start = 0
+        while True:
+            chain, start = self._find_possible_loop(sid, start)
+            if not chain:
+                break
+            coarse = self._match(
+                self.loop_matcher, rec, chain, rec.corrected_pose,
+                do_penalize=False, do_fine=False,
+            )
+            cov = np.asarray(coarse.covariance)
+            if (
+                float(coarse.response) > lp.loop_match_minimum_response_coarse
+                and cov[0, 0] < lp.loop_match_maximum_variance_coarse
+                and cov[1, 1] < lp.loop_match_maximum_variance_coarse
+            ):
+                fine = self._match(
+                    self.front_matcher, rec, chain,
+                    np.asarray(coarse.pose, np.float64), do_penalize=False,
+                )
+                if float(fine.response) >= k.link_match_minimum_response_fine:
+                    rec.corrected_pose = np.asarray(fine.pose, np.float64)
+                    # update solver's copy of this node before correcting
+                    self.solver.set_node_pose(sid, rec.corrected_pose)
+                    self._link_chain(
+                        chain, sid, rec.corrected_pose,
+                        np.asarray(fine.covariance, np.float64),
+                    )
+                    self._correct_poses()
+                    self.loop_closures += 1
+                    closed = True
+        return closed
+
+    # --- main entry ---------------------------------------------------------
+    def process(self, scan: Scan, odom_pose) -> bool:
+        """Mapper::Process (Mapper.cpp:1999-2120). Returns True if the scan
+        was accepted (moved enough) and integrated."""
+        rec = self._make_record(scan, np.asarray(odom_pose, np.float64))
+
+        # propagate last correction onto the odometric estimate (:2023-2024)
+        if self._last_scan_id is not None:
+            last = self.scans[self._last_scan_id]
+            delta = _np_rel(last.odom_pose, rec.odom_pose)
+            rec.corrected_pose = _np_compose(last.corrected_pose, delta)
+
+        if not self._has_moved_enough(rec):
+            return False
+
+        cov = np.eye(3)
+        if self.cfg.karto.use_scan_matching and self._last_scan_id is not None:
+            res = self._match(
+                self.front_matcher, rec, list(self.running),
+                rec.corrected_pose,
+            )
+            rec.corrected_pose = np.asarray(res.pose, np.float64)
+            cov = np.asarray(res.covariance, np.float64)
+
+        rec.state_id = len(self.scans)
+        self.scans.append(rec)
+        self.solver.add_node(rec.state_id, rec.corrected_pose)
+        if self.cfg.karto.use_scan_matching:
+            self._add_edges(rec, cov)
+            # AddEdges may refine the pose via the weighted mean (:968-971)
+            self.solver.set_node_pose(rec.state_id, rec.corrected_pose)
+        self._add_running(rec.state_id)
+        if self.cfg.karto.do_loop_closing and self.cfg.karto.use_scan_matching:
+            self._try_close_loop(rec)
+        self._last_scan_id = rec.state_id
+        return True
+
+    def trajectory(self) -> np.ndarray:
+        return np.asarray([r.corrected_pose for r in self.scans])
+
+    def run(self, scans: Scan, odom_poses: np.ndarray) -> np.ndarray:
+        """Replay a sequence; returns corrected poses of ACCEPTED scans and
+        their indices (SlamKarto laserCallback loop)."""
+        accepted = []
+        for t in range(scans.ranges.shape[0]):
+            if self.process(index_scan(scans, t), odom_poses[t]):
+                accepted.append(t)
+        return np.asarray(accepted)

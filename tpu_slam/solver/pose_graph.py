@@ -253,6 +253,11 @@ class PoseGraphSolver:
     def get_poses(self) -> np.ndarray:
         return np.asarray(self._poses)
 
+    def set_node_pose(self, node_id: int, pose) -> None:
+        """Overwrite a node's current estimate (karto rewrites scan poses
+        between solves, e.g. after a fine loop match)."""
+        self._poses[self._ids[node_id]] = np.asarray(pose, np.float64)
+
     @property
     def num_nodes(self) -> int:
         return len(self._poses)
