@@ -98,3 +98,28 @@ def test_plicp_batched():
     assert res.pose.shape == (4, 3)
     for i, (_, _, delta) in enumerate(pairs):
         np.testing.assert_allclose(np.asarray(res.pose[i]), delta, atol=0.01)
+
+
+def test_fused_pallas_matches_xla_path():
+    """The fully-fused Pallas PL-ICP kernel (interpret mode on CPU) must
+    reproduce the XLA path's fixed point."""
+    from tpu_slam.ops.pallas.plicp_fused import plicp_match_fused
+
+    pairs = [two_scans(seed=s, delta=(0.07, -0.03, 0.05)) for s in range(3)]
+    sp = jnp.stack([p[0].points() for p in pairs])
+    sv = jnp.stack([p[0].valid for p in pairs])
+    tp = jnp.stack([p[1].points() for p in pairs])
+    tv = jnp.stack([p[1].valid for p in pairs])
+    cfg = PLICPConfig()
+    ref = plicp_match(sp, sv, tp, tv, cfg)
+    fused = plicp_match_fused(sp, sv, tp, tv, cfg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fused.pose), np.asarray(ref.pose), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused.num_inliers), np.asarray(ref.num_inliers)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.covariance), np.asarray(ref.covariance),
+        rtol=1e-3, atol=1e-9,
+    )

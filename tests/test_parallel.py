@@ -1,0 +1,135 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_slam.config import SolverConfig, default_config
+from tpu_slam.parallel.mesh import make_mesh, replicated, shard_batch
+from tpu_slam.parallel.distributed_step import (
+    make_batched_matcher,
+    make_sharded_training_step,
+)
+from tpu_slam.solver.distributed import (
+    make_distributed_cg_delta,
+    make_distributed_lm_delta,
+)
+from tpu_slam.solver.pose_graph import PoseGraphSolver, dense_solve, normal_equations
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def ring(n=17, noise=0.01, seed=0):
+    rng = np.random.default_rng(seed)
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    gt = np.stack([5 * np.cos(th), 5 * np.sin(th), th], -1).astype(np.float32)
+    E = n
+    ei = np.arange(E) % n
+    ej = (np.arange(E) + 1) % n
+    means = []
+    for i in range(E):
+        a, b = gt[ei[i]], gt[ej[i]]
+        c, s = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        m = np.array(
+            [c * d[0] + s * d[1], -s * d[0] + c * d[1], b[2] - a[2]]
+        )
+        m[2] = np.arctan2(np.sin(m[2]), np.cos(m[2]))
+        means.append(m + rng.normal(0, noise, 3))
+    return gt, ei.astype(np.int32), ej.astype(np.int32), np.asarray(
+        means, np.float32
+    )
+
+
+def test_distributed_lm_matches_single_device():
+    """Edge-sharded psum assembly must equal the single-device solve."""
+    mesh = make_mesh(8)
+    gt, ei, ej, means = ring(n=17)
+    M, E = 17, 17
+    pad = (-E) % 8
+    Ep = E + pad
+    eip = np.concatenate([ei, np.zeros(pad, np.int32)])
+    ejp = np.concatenate([ej, np.zeros(pad, np.int32)])
+    meansp = np.concatenate([means, np.zeros((pad, 3), np.float32)])
+    infos = np.tile(np.eye(3, dtype=np.float32) * 50, (Ep, 1, 1))
+    mask = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
+    free = np.arange(M) > 0
+    poses = gt + np.random.default_rng(1).normal(0, 0.05, gt.shape).astype(
+        np.float32
+    )
+    poses[0] = gt[0]
+    lam = jnp.float32(1e-3)
+
+    # single-device reference
+    Hd, Hij, b = normal_equations(
+        jnp.asarray(poses), jnp.asarray(eip), jnp.asarray(ejp),
+        jnp.asarray(meansp), jnp.asarray(infos), jnp.asarray(mask), M,
+    )
+    want = dense_solve(
+        Hd, Hij, jnp.asarray(eip), jnp.asarray(ejp), b, lam,
+        jnp.asarray(free),
+    )
+
+    args = (
+        replicated(mesh, jnp.asarray(poses)),
+        shard_batch(mesh, jnp.asarray(eip)),
+        shard_batch(mesh, jnp.asarray(ejp)),
+        shard_batch(mesh, jnp.asarray(meansp)),
+        shard_batch(mesh, jnp.asarray(infos)),
+        shard_batch(mesh, jnp.asarray(mask)),
+        lam,
+        replicated(mesh, jnp.asarray(free)),
+    )
+    got = make_distributed_lm_delta(mesh, M)(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    got_cg = make_distributed_cg_delta(mesh, M, cg_iters=60)(*args)
+    np.testing.assert_allclose(
+        np.asarray(got_cg), np.asarray(want), atol=5e-3
+    )
+
+
+def test_sharded_matcher_matches_unsharded():
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        scan=dataclasses.replace(cfg.scan, num_beams=90, range_max=6.0),
+        plicp=dataclasses.replace(cfg.plicp, max_iterations=4),
+    )
+    from tpu_slam.data import simulator as sim
+    from tpu_slam.data.scan import make_scan
+
+    B = 8
+    traj = sim.circle_trajectory(B + 1, radius=1.2)
+    world = sim.office_world(seed=3, size=8.0, clear_path=traj)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, seed=1)
+    scans = make_scan(seq.ranges, cfg.scan)
+    pts = np.where(
+        np.asarray(scans.valid)[..., None], np.asarray(scans.points()), 0.0
+    ).astype(np.float32)
+    valid = np.asarray(scans.valid)
+    args_np = (pts[1:], valid[1:], pts[:-1], valid[:-1],
+               np.zeros((B, 3), np.float32))
+
+    plain = make_batched_matcher(cfg)(*map(jnp.asarray, args_np))
+    mesh = make_mesh(8)
+    sharded_args = tuple(shard_batch(mesh, jnp.asarray(a)) for a in args_np)
+    sharded = make_batched_matcher(cfg, mesh)(*sharded_args)
+    np.testing.assert_allclose(
+        np.asarray(sharded.pose), np.asarray(plain.pose), atol=1e-5
+    )
+
+
+def test_training_step_runs_on_mesh():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

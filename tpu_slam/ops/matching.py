@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BIG = 1e12
 
@@ -79,3 +80,41 @@ def masked_quantile(x: jax.Array, mask: jax.Array, q: float) -> jax.Array:
         jnp.floor(q * jnp.maximum(cnt - 1, 0)).astype(jnp.int32), 0, n - 1
     )
     return jnp.take_along_axis(xs, pos[..., None], axis=-1)[..., 0]
+
+
+def nearest_neighbor_auto(
+    src: jax.Array, tgt: jax.Array, tgt_valid: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Backend-dispatched NN: Pallas fused kernel on TPU (exact f32, VMEM
+    resident — see ops/pallas/nn.py), the einsum path elsewhere.
+
+    Accepts (..., N, 2) against (..., M, 2) with matching batch dims.
+    """
+    if jax.default_backend() != "tpu":
+        return nearest_neighbor(src, tgt, tgt_valid)
+    from tpu_slam.ops.pallas.nn import nearest_neighbor_pallas
+
+    batch_shape = src.shape[:-2]
+    n, m = src.shape[-2], tgt.shape[-2]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    tgt_b = jnp.broadcast_to(tgt, batch_shape + (m, 2))
+    tv_b = jnp.broadcast_to(tgt_valid, batch_shape + (m,))
+    idx, d2 = nearest_neighbor_pallas(
+        src.reshape(b, n, 2), tgt_b.reshape(b, m, 2), tv_b.reshape(b, m)
+    )
+    return idx.reshape(batch_shape + (n,)), d2.reshape(batch_shape + (n,))
+
+
+def masked_quantiles(x: jax.Array, mask: jax.Array, qs: tuple) -> list:
+    """Several masked quantiles from ONE sort (the per-round trimming needs
+    two; sorting twice doubled the cost of the trim stage)."""
+    n = x.shape[-1]
+    xs = jnp.sort(jnp.where(mask, x, BIG), axis=-1)
+    cnt = jnp.sum(mask, axis=-1)
+    out = []
+    for q in qs:
+        pos = jnp.clip(
+            jnp.floor(q * jnp.maximum(cnt - 1, 0)).astype(jnp.int32), 0, n - 1
+        )
+        out.append(jnp.take_along_axis(xs, pos[..., None], axis=-1)[..., 0])
+    return out

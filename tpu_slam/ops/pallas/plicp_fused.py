@@ -1,0 +1,389 @@
+"""Fully-fused PL-ICP matcher: the whole ICP loop in ONE Pallas kernel.
+
+The XLA path (ops/plicp.py) runs ~10 rounds of {NN, adjacent-point gather,
+quantile sort, GN solve} as separate HBM-bound ops — measured ~170 ms per
+512-pair batch on v5e, dominated by (B, N) gathers and sorts. This kernel
+keeps each scan pair entirely in VMEM across ALL rounds and eliminates
+every gather and sort:
+
+  * correspondences: the (N, M) distance tile lives in VMEM; "gather
+    tgt[j1]" becomes a one-hot masked lane-reduction (VPU), so the nearest
+    point, its two beam neighbors (passed as pre-shifted target arrays),
+    and their validities all come from the same tile with zero HBM traffic;
+  * CSM outlier trimming: the two masked quantiles (outliers_maxPerc /
+    adaptive_order, plicp_odometry.cc:139-156) are found by a fixed-depth
+    binary search over the residual value range (vectorized counts) instead
+    of a sort;
+  * Gauss-Newton: the 3×3 normal equations are solved in closed form
+    (cofactor expansion) — no linalg call;
+  * the full ``max_iterations``-round loop is a `lax.fori_loop` inside the
+    kernel, so one launch performs the complete match for a block of pairs.
+
+Semantics match ops/plicp.py (same fixed point, same guards); tests compare
+the two paths. Reference semantics: CSM `sm_icp` as configured by
+lesson3/src/plicp_odometry.cc:69-186.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_slam.config import PLICPConfig
+
+BIG = 1e12
+PAIRS_PER_PROGRAM = 8
+QUANTILE_ITERS = 22  # binary-search depth: |err| resolved to ~max/4e6
+
+
+def _norm_angle(th):
+    """Branchless wrap to (−π, π] — Mosaic has no atan2."""
+    two_pi = 6.283185307179586
+    return th - two_pi * jnp.floor((th + 3.141592653589793) / two_pi)
+
+
+def _row_gather(onehot, row):
+    """Σ_m onehot[p,n,m]·row[p,1,m] → (P,N): a gather as a lane reduction."""
+    return jnp.sum(onehot * row, axis=2)
+
+
+def _masked_quantile_search(err, gate_f, q):
+    """Value of the floor(q·(cnt−1))-th smallest gated |err| via binary
+    search on the value axis. err, gate_f: (P, N)."""
+    cnt = jnp.sum(gate_f, axis=1, keepdims=True)  # (P,1)
+    kth = jnp.floor(q * jnp.maximum(cnt - 1.0, 0.0))  # (P,1) rank (0-based)
+    hi0 = jnp.max(jnp.where(gate_f > 0, err, 0.0), axis=1, keepdims=True)
+    lo0 = jnp.zeros_like(hi0)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        c = jnp.sum(gate_f * (err <= mid), axis=1, keepdims=True)
+        take_lo = c >= kth + 1.0  # enough elements ≤ mid
+        hi = jnp.where(take_lo, mid, hi)
+        lo = jnp.where(take_lo, lo, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, QUANTILE_ITERS, body, (lo0, hi0))
+    return hi  # (P,1) upper bound ≈ kth value
+
+
+def _solve3(h00, h01, h02, h11, h12, h22, b0, b1, b2):
+    """Closed-form symmetric 3×3 solve via cofactors; (P,1) scalars."""
+    c00 = h11 * h22 - h12 * h12
+    c01 = h02 * h12 - h01 * h22
+    c02 = h01 * h12 - h02 * h11
+    det = h00 * c00 + h01 * c01 + h02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    ok = jnp.abs(det) > 1e-20
+    c11 = h00 * h22 - h02 * h02
+    c12 = h02 * h01 - h00 * h12
+    c22 = h00 * h11 - h01 * h01
+    d0 = (c00 * b0 + c01 * b1 + c02 * b2) * inv_det
+    d1 = (c01 * b0 + c11 * b1 + c12 * b2) * inv_det
+    d2 = (c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+    z = jnp.zeros_like(d0)
+    return (
+        jnp.where(ok, d0, z), jnp.where(ok, d1, z), jnp.where(ok, d2, z),
+    )
+
+
+def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
+    max_d2 = cfg.max_correspondence_dist**2
+    n_rounds = cfg.max_iterations
+    n_chunks = n // chunk
+
+    def kernel(
+        sx_ref, sy_ref, sv_ref,          # (P, N) src coords + valid
+        tx_ref, ty_ref, tv_ref,          # (P, M) tgt coords + valid
+        pxr, pyr, pvr,                   # (P, M) tgt shifted +1 (prev beam)
+        nxr, nyr, nvr,                   # (P, M) tgt shifted −1 (next beam)
+        init_ref,                        # (P, 3)
+        pose_ref, stats_ref, H_ref,      # out: (P,3), (P,4), (P,9)
+        wx_s, wy_s, dmin_s, gath_s,      # scratch: (P,N)×3, (P,9,N)
+    ):
+        sx = sx_ref[...]
+        sy = sy_ref[...]
+        sv = sv_ref[...]
+        tx = tx_ref[...][:, None, :]  # (P,1,M)
+        ty = ty_ref[...][:, None, :]
+        tv = tv_ref[...][:, None, :]
+        P = sx.shape[0]
+        C = chunk
+        cols = jax.lax.broadcasted_iota(jnp.int32, (P, C, m), 2)
+        rows = (
+            tx, ty, tv,
+            pxr[...][:, None, :], pyr[...][:, None, :], pvr[...][:, None, :],
+            nxr[...][:, None, :], nyr[...][:, None, :], nvr[...][:, None, :],
+        )
+
+        def round_body(_, carry):
+            px, py, pth, _e, _ni, _h = carry
+            c, s = jnp.cos(pth), jnp.sin(pth)  # (P,1)
+            wx_s[...] = c * sx - s * sy + px  # (P,N) world src
+            wy_s[...] = s * sx + c * sy + py
+
+            # chunk loop over source beams: only a (P, C, M) distance tile
+            # is live; a real fori_loop (not unrolled) so Mosaic reuses the
+            # tile buffers across chunks. Values round-trip through VMEM
+            # scratch because Mosaic only supports dynamic slicing on refs.
+            def corr_chunk(ci, _):
+                off = pl.multiple_of(ci * C, C)
+                wxc = wx_s[:, pl.ds(off, C)]
+                wyc = wy_s[:, pl.ds(off, C)]
+                d2 = (
+                    (wxc[:, :, None] - tx) ** 2
+                    + (wyc[:, :, None] - ty) ** 2
+                    + (1.0 - tv) * BIG
+                )  # (P,C,M)
+                dminc = jnp.min(d2, axis=2)
+                idx = jnp.min(
+                    jnp.where(d2 <= dminc[:, :, None], cols, jnp.int32(m)),
+                    axis=2,
+                )
+                onehot = (cols == idx[:, :, None]).astype(sx.dtype)
+                dmin_s[:, pl.ds(off, C)] = dminc
+                for gi, row in enumerate(rows):
+                    gath_s[:, gi, pl.ds(off, C)] = _row_gather(onehot, row)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, corr_chunk, 0)
+
+            wx = wx_s[...]
+            wy = wy_s[...]
+            dmin = dmin_s[...]
+            q1x = gath_s[:, 0, :]
+            q1y = gath_s[:, 1, :]
+            q1v = gath_s[:, 2, :]
+            ax = gath_s[:, 3, :]
+            ay = gath_s[:, 4, :]
+            av = gath_s[:, 5, :]
+            bx = gath_s[:, 6, :]
+            by = gath_s[:, 7, :]
+            bv = gath_s[:, 8, :]
+
+            # second point: better of the two adjacent beams (csm icp_corr)
+            da = (wx - ax) ** 2 + (wy - ay) ** 2 + (1.0 - av) * BIG
+            db = (wx - bx) ** 2 + (wy - by) ** 2 + (1.0 - bv) * BIG
+            use_a = da <= db
+            q2x = jnp.where(use_a, ax, bx)
+            q2y = jnp.where(use_a, ay, by)
+            q2v = jnp.where(use_a, av, bv)
+
+            tgx = q2x - q1x
+            tgy = q2y - q1y
+            tlen = jnp.sqrt(tgx * tgx + tgy * tgy)
+            ok_len = tlen > 1e-9
+            inv_l = 1.0 / jnp.maximum(tlen, 1e-9)
+            nx_ = -tgy * inv_l
+            ny_ = tgx * inv_l
+            resid = nx_ * (wx - q1x) + ny_ * (wy - q1y)
+
+            gate = (
+                sv * q1v * q2v
+                * (dmin < max_d2).astype(sx.dtype)
+                * ok_len.astype(sx.dtype)
+            )
+            err = jnp.abs(resid)
+            thr_perc = _masked_quantile_search(err, gate, cfg.outliers_maxPerc)
+            thr_adap = cfg.outliers_adaptive_mult * _masked_quantile_search(
+                err, gate, cfg.outliers_adaptive_order
+            )
+            thr = jnp.minimum(thr_perc, jnp.maximum(thr_adap, 1e-6))
+            w = gate * (err <= thr + 1e-12).astype(sx.dtype)  # (P,N)
+
+            def gn(px, py, pth, c, s, wx, wy):
+                # J = [n_x, n_y, nᵀ·perp(R p)] with rp = world − t
+                rpx = wx - px
+                rpy = wy - py
+                jth = nx_ * (-rpy) + ny_ * rpx
+                r = nx_ * (wx - q1x) + ny_ * (wy - q1y)
+                wn = w
+                h00 = jnp.sum(wn * nx_ * nx_, axis=1, keepdims=True)
+                h01 = jnp.sum(wn * nx_ * ny_, axis=1, keepdims=True)
+                h02 = jnp.sum(wn * nx_ * jth, axis=1, keepdims=True)
+                h11 = jnp.sum(wn * ny_ * ny_, axis=1, keepdims=True)
+                h12 = jnp.sum(wn * ny_ * jth, axis=1, keepdims=True)
+                h22 = jnp.sum(wn * jth * jth, axis=1, keepdims=True)
+                b0 = -jnp.sum(wn * nx_ * r, axis=1, keepdims=True)
+                b1 = -jnp.sum(wn * ny_ * r, axis=1, keepdims=True)
+                b2 = -jnp.sum(wn * jth * r, axis=1, keepdims=True)
+                d0, d1, d2_ = _solve3(
+                    h00 + 1e-9, h01, h02, h11 + 1e-9, h12, h22 + 1e-9,
+                    b0, b1, b2,
+                )
+                nok = (jnp.sum(wn, axis=1, keepdims=True) >= 3.0).astype(
+                    sx.dtype
+                )
+                fin = (
+                    jnp.isfinite(d0) & jnp.isfinite(d1) & jnp.isfinite(d2_)
+                ).astype(sx.dtype)
+                g = nok * fin
+                return d0 * g, d1 * g, d2_ * g, (
+                    h00, h01, h02, h11, h12, h22
+                )
+
+            # two inner GN steps with frozen correspondences (ops/plicp.py)
+            d0, d1, dth, _hs = gn(px, py, pth, c, s, wx, wy)
+            px1, py1 = px + d0, py + d1
+            pth1 = _norm_angle(pth + dth)
+            c1, s1 = jnp.cos(pth1), jnp.sin(pth1)
+            wx1 = c1 * sx - s1 * sy + px1
+            wy1 = s1 * sx + c1 * sy + py1
+            e0, e1, eth, hs = gn(px1, py1, pth1, c1, s1, wx1, wy1)
+            px2, py2 = px1 + e0, py1 + e1
+            pth2 = _norm_angle(pth1 + eth)
+
+            wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+            mean_err = jnp.sum(w * err, axis=1, keepdims=True) / wsum
+            n_inl = jnp.sum(w, axis=1, keepdims=True)
+            h_flat = jnp.concatenate(hs, axis=1)  # (P,6)
+            return px2, py2, pth2, mean_err, n_inl, h_flat
+
+        zero1 = jnp.zeros((P, 1), sx.dtype)
+        carry0 = (
+            init_ref[:, 0:1], init_ref[:, 1:2], init_ref[:, 2:3],
+            zero1, zero1, jnp.zeros((P, 6), sx.dtype),
+        )
+        px, py, pth, err, ninl, hs = jax.lax.fori_loop(
+            0, n_rounds, round_body, carry0
+        )
+        pose_ref[:, 0:1] = px
+        pose_ref[:, 1:2] = py
+        pose_ref[:, 2:3] = pth
+        stats_ref[:, 0:1] = err
+        stats_ref[:, 1:2] = ninl
+        stats_ref[:, 2:4] = jnp.zeros((P, 2), sx.dtype)
+        # symmetric H packed (upper triangle + mirrored)
+        H_ref[:, 0:1] = hs[:, 0:1]
+        H_ref[:, 1:2] = hs[:, 1:2]
+        H_ref[:, 2:3] = hs[:, 2:3]
+        H_ref[:, 3:4] = hs[:, 1:2]
+        H_ref[:, 4:5] = hs[:, 3:4]
+        H_ref[:, 5:6] = hs[:, 4:5]
+        H_ref[:, 6:7] = hs[:, 2:3]
+        H_ref[:, 7:8] = hs[:, 4:5]
+        H_ref[:, 8:9] = hs[:, 5:6]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret")
+)
+def plicp_match_fused(
+    src_pts: jax.Array,  # (B, N, 2)
+    src_valid: jax.Array,  # (B, N)
+    tgt_pts: jax.Array,  # (B, M, 2)
+    tgt_valid: jax.Array,  # (B, M)
+    cfg: PLICPConfig,
+    init_pose: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """Drop-in batched equivalent of ops/plicp.plicp_match (point-to-line
+    config). Returns the same PLICPResult fields (converged is False — the
+    fused loop does not track per-round deltas)."""
+    from tpu_slam.ops.plicp import PLICPResult
+
+    B, N, _ = src_pts.shape
+    M = tgt_pts.shape[1]
+    dtype = src_pts.dtype
+    if init_pose is None:
+        init_pose = jnp.zeros((B, 3), dtype)
+
+    # sanitize exactly like the XLA path
+    src_pts = jnp.where(
+        src_valid[..., None] & jnp.isfinite(src_pts), src_pts, 0.0
+    )
+    tgt_pts = jnp.where(
+        tgt_valid[..., None] & jnp.isfinite(tgt_pts), tgt_pts, 0.0
+    )
+    tgt_valid = tgt_valid & jnp.all(jnp.isfinite(tgt_pts), axis=-1)
+
+    # pad the beam axis to a multiple of the kernel chunk (invalid beams)
+    npad = (-N) % 128
+    if npad:
+        src_pts = jnp.concatenate(
+            [src_pts, jnp.zeros((B, npad, 2), dtype)], 1
+        )
+        src_valid = jnp.concatenate(
+            [src_valid, jnp.zeros((B, npad), bool)], 1
+        )
+        N = N + npad
+
+    P = PAIRS_PER_PROGRAM
+    pad = (-B) % P
+    if pad:
+        z2 = jnp.zeros((pad, N, 2), dtype)
+        src_pts = jnp.concatenate([src_pts, z2], 0)
+        src_valid = jnp.concatenate([src_valid, jnp.zeros((pad, N), bool)], 0)
+        tgt_pts = jnp.concatenate([tgt_pts, jnp.zeros((pad, M, 2), dtype)], 0)
+        tgt_valid = jnp.concatenate(
+            [tgt_valid, jnp.zeros((pad, M), bool)], 0
+        )
+        init_pose = jnp.concatenate([init_pose, jnp.zeros((pad, 3), dtype)], 0)
+    Bp = B + pad
+
+    tvf = tgt_valid.astype(dtype)
+    # beam-adjacent shifted targets (j1±1 candidates), edges invalidated —
+    # matches second_point_on_segment's clamp+distance semantics
+    def shift(a, by):
+        return jnp.roll(a, by, axis=1)
+
+    prev_x = shift(tgt_pts[..., 0], 1)
+    prev_y = shift(tgt_pts[..., 1], 1)
+    prev_v = shift(tvf, 1).at[:, 0].set(0.0)
+    next_x = shift(tgt_pts[..., 0], -1)
+    next_y = shift(tgt_pts[..., 1], -1)
+    next_v = shift(tvf, -1).at[:, M - 1].set(0.0)
+
+    kern = _make_kernel(cfg, N, M, chunk=128)
+    spec2 = lambda cols: pl.BlockSpec(
+        (P, cols), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    pose, stats, Hf = pl.pallas_call(
+        kern,
+        grid=(Bp // P,),
+        in_specs=[
+            spec2(N), spec2(N), spec2(N),
+            spec2(M), spec2(M), spec2(M),
+            spec2(M), spec2(M), spec2(M),
+            spec2(M), spec2(M), spec2(M),
+            spec2(3),
+        ],
+        out_specs=[spec2(3), spec2(4), spec2(9)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 3), dtype),
+            jax.ShapeDtypeStruct((Bp, 4), dtype),
+            jax.ShapeDtypeStruct((Bp, 9), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, N), dtype),
+            pltpu.VMEM((P, N), dtype),
+            pltpu.VMEM((P, N), dtype),
+            pltpu.VMEM((P, 9, N), dtype),
+        ],
+        interpret=interpret,
+    )(
+        src_pts[..., 0], src_pts[..., 1], src_valid.astype(dtype),
+        tgt_pts[..., 0], tgt_pts[..., 1], tvf,
+        prev_x, prev_y, prev_v,
+        next_x, next_y, next_v,
+        init_pose,
+    )
+    pose = pose[:B]
+    H = Hf[:B].reshape(B, 3, 3)
+    cov = cfg.sigma**2 * jnp.linalg.inv(
+        H + 1e-6 * jnp.eye(3, dtype=dtype)
+    )
+    return PLICPResult(
+        pose=pose,
+        error=stats[:B, 0],
+        num_inliers=stats[:B, 1].astype(jnp.int32),
+        covariance=cov,
+        converged=jnp.zeros((B,), bool),
+    )

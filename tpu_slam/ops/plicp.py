@@ -31,8 +31,8 @@ from tpu_slam import geometry as geo
 from tpu_slam.config import PLICPConfig
 from tpu_slam.ops.matching import (
     BIG,
-    masked_quantile,
-    nearest_neighbor,
+    masked_quantiles,
+    nearest_neighbor_auto,
     second_point_on_segment,
 )
 
@@ -49,7 +49,7 @@ def _correspondences(pose, src_pts, src_valid, tgt_pts, tgt_valid, cfg,
                      point_to_line: bool):
     """One correspondence round → (q1, n, residual, gate)."""
     src_w = geo.apply(pose, src_pts)
-    j1, d2 = nearest_neighbor(src_w, tgt_pts, tgt_valid)
+    j1, d2 = nearest_neighbor_auto(src_w, tgt_pts, tgt_valid)
     q1 = jnp.take_along_axis(tgt_pts, j1[..., None], axis=-2)
     gate = src_valid & (d2 < cfg.max_correspondence_dist**2)
     gate &= jnp.take_along_axis(tgt_valid, j1, axis=-1)
@@ -79,10 +79,11 @@ def _trim(resid, gate, cfg):
     """CSM outlier rejection: keep |err| ≤ maxPerc percentile AND
     |err| ≤ adaptive_mult × (adaptive_order percentile)."""
     err = jnp.abs(resid)
-    thr_perc = masked_quantile(err, gate, cfg.outliers_maxPerc)
-    thr_adap = cfg.outliers_adaptive_mult * masked_quantile(
-        err, gate, cfg.outliers_adaptive_order
+    q_perc, q_adap = masked_quantiles(
+        err, gate, (cfg.outliers_maxPerc, cfg.outliers_adaptive_order)
     )
+    thr_perc = q_perc
+    thr_adap = cfg.outliers_adaptive_mult * q_adap
     thr = jnp.minimum(thr_perc, jnp.maximum(thr_adap, 1e-6))
     return gate & (err <= thr[..., None] + 1e-12)
 
