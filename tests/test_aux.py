@@ -1,0 +1,185 @@
+"""Auxiliary subsystems: rosbag IO, checkpoint/resume, events, profiling."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from tpu_slam.config import ScanConfig, default_config
+from tpu_slam.data import rosbag, simulator as sim
+from tpu_slam.data.scan import make_scan
+from tpu_slam.utils.events import Event, EventBus
+from tpu_slam.utils.profiling import StageTimer, ThroughputCounter
+
+
+def test_rosbag_roundtrip(tmp_path):
+    cfg = ScanConfig(num_beams=90)
+    world = sim.office_world(seed=3)
+    traj = sim.circle_trajectory(5, radius=1.5)
+    seq = sim.simulate_sequence(world, traj, cfg, seed=1)
+    msgs = []
+    for t in range(5):
+        raw = rosbag.serialize_laser_scan(
+            {
+                "stamp": float(seq.stamps[t]),
+                "frame_id": "front_laser_link",
+                "angle_min": cfg.angle_min,
+                "angle_max": cfg.angle_min + cfg.angle_increment * 89,
+                "angle_increment": cfg.angle_increment,
+                "time_increment": cfg.scan_period / 90,
+                "scan_time": cfg.scan_period,
+                "range_min": cfg.range_min,
+                "range_max": cfg.range_max,
+                "ranges": seq.ranges[t],
+                "intensities": np.zeros(90),
+            }
+        )
+        msgs.append(("laser_scan", "sensor_msgs/LaserScan", float(seq.stamps[t]), raw))
+    path = str(tmp_path / "test.bag")
+    rosbag.write_bag(path, msgs)
+
+    out = list(rosbag.parse_messages(path))
+    assert len(out) == 5
+    msg, parsed = out[2]
+    assert msg.topic == "laser_scan"
+    assert parsed["frame_id"] == "front_laser_link"
+    np.testing.assert_allclose(
+        parsed["ranges"], seq.ranges[2], rtol=1e-6
+    )
+    np.testing.assert_allclose(parsed["stamp"], seq.stamps[2], atol=1e-6)
+    # topic filter
+    assert list(rosbag.parse_messages(path, topics={"other"})) == []
+
+
+def test_rosbag_rejects_non_bag(tmp_path):
+    p = tmp_path / "x.bag"
+    p.write_bytes(b"not a bag")
+    with pytest.raises(ValueError):
+        list(rosbag.read_bag(str(p)))
+
+
+def test_karto_checkpoint_roundtrip(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_karto import small_karto_cfg, drifted_odometry
+    from tpu_slam.models.karto.pipeline import KartoSLAM
+    from tpu_slam.utils.checkpoint import load_karto, save_karto
+
+    cfg = small_karto_cfg()
+    traj = sim.loop_trajectory(arm=9.0, width=2.6, speed=0.9)[:120]
+    world = sim.corridor_loop_world(arm=9.0, width=2.6)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, noise_std=0.004, seed=8)
+    odom = drifted_odometry(seq.gt_poses, seed=3)
+    scans = make_scan(seq.ranges, cfg.scan, stamp=seq.stamps.astype(np.float32))
+
+    slam = KartoSLAM(cfg)
+    slam.run(scans, odom)
+    n_scans = len(slam.scans)
+    n_edges = slam.solver.num_edges
+    path = str(tmp_path / "karto.npz")
+    save_karto(slam, path)
+
+    slam2 = KartoSLAM(cfg)
+    load_karto(slam2, path)
+    assert len(slam2.scans) == n_scans
+    assert slam2.solver.num_edges == n_edges
+    assert list(slam2.running) == list(slam.running)
+    np.testing.assert_allclose(slam2.trajectory(), slam.trajectory())
+
+    # resume: process remaining scans on the restored instance
+    from tpu_slam.data.scan import index_scan
+
+    more = sim.simulate_sequence(
+        world, traj[-10:], cfg.scan, noise_std=0.004, seed=9
+    )
+    # (same last pose region; just check processing continues cleanly)
+    scans2 = make_scan(more.ranges, cfg.scan)
+    before = len(slam2.scans)
+    for t in range(10):
+        slam2.process(index_scan(scans2, t), odom[-10 + t])
+    assert np.isfinite(slam2.trajectory()).all()
+
+
+def test_hector_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from tpu_slam.models.hector_slam import HectorSLAM
+    from tpu_slam.utils.checkpoint import load_hector, save_hector
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, hector=dataclasses.replace(cfg.hector, map_size=128,
+                                        map_multi_res_levels=2)
+    )
+    world = sim.office_world(seed=2)
+    traj = sim.circle_trajectory(5, radius=1.2)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, seed=0)
+    scans = make_scan(seq.ranges, cfg.scan)
+    slam = HectorSLAM(cfg)
+    slam.run(scans)
+    path = str(tmp_path / "hector.npz")
+    save_hector(slam, path)
+
+    slam2 = HectorSLAM(cfg)
+    load_hector(slam2, path)
+    for g1, g2 in zip(slam.grids, slam2.grids):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_allclose(
+        np.asarray(slam.last_pose), np.asarray(slam2.last_pose)
+    )
+
+
+def test_event_bus():
+    bus = EventBus()
+    got = []
+    bus.add_listener(got.append)
+    bus.loop_closure_check("checking")
+    bus.begin_loop_closure("begin")
+    bus.end_loop_closure("end")
+    assert [e.kind for e in got] == [
+        "loop_closure_check", "begin_loop_closure", "end_loop_closure",
+    ]
+    assert len(bus.history) == 3
+    bus.remove_listener(got.append)
+    bus.info("quiet")
+    assert len(got) == 3 and len(bus.history) == 4
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a:" in t.report()
+    c = ThroughputCounter()
+    c.tick(10)
+    assert c.per_sec > 0
+
+
+def test_karto_occupancy_map():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_karto import small_karto_cfg, drifted_odometry
+    from tpu_slam.models.karto.pipeline import KartoSLAM
+    from tpu_slam.models.karto.occupancy import karto_map
+
+    cfg = small_karto_cfg()
+    traj = sim.loop_trajectory(arm=9.0, width=2.6, speed=0.9)[:100]
+    world = sim.corridor_loop_world(arm=9.0, width=2.6)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, noise_std=0.004, seed=8)
+    odom = drifted_odometry(seq.gt_poses, seed=3)
+    scans = make_scan(seq.ranges, cfg.scan, stamp=seq.stamps.astype(np.float32))
+    slam = KartoSLAM(cfg)
+    slam.run(scans, odom)
+    m, gcfg = karto_map(slam, resolution=0.1)
+    assert (m == 100).sum() > 100
+    assert (m == 0).sum() > 1000
+    assert (m == -1).sum() > 100
+    # events were fired during the run (at least loop closure checks)
+    kinds = {e.kind for e in slam.events.history}
+    assert "loop_closure_check" in kinds or slam.loop_closures == 0

@@ -224,8 +224,8 @@ def read_bag(path: str, topics: set[str] | None = None) -> Iterator[BagMessage]:
                 fields = _read_header(body)
                 connections[conn_id] = Connection(
                     topic=h["topic"].decode(),
-                    msg_type=fields.get(b"type", b"").decode(),
-                    md5=fields.get(b"md5sum", b"").decode(),
+                    msg_type=fields.get("type", b"").decode(),
+                    md5=fields.get("md5sum", b"").decode(),
                 )
             elif op == _OP_MSG_DATA:
                 conn_id = struct.unpack("<I", h["conn"])[0]
@@ -252,9 +252,6 @@ def read_bag(path: str, topics: set[str] | None = None) -> Iterator[BagMessage]:
                 raise ValueError(f"unsupported compression {compression!r}")
             yield from handle_block(body)
         elif op in (_OP_CONNECTION, _OP_MSG_DATA):
-            yield from handle_block(
-                struct.pack("<I", 0)
-            ) if False else iter(())
             # connection/message records outside chunks (unchunked bags)
             for m in handle_block(
                 struct.pack("<I", len(_pack_header(h)))

@@ -41,6 +41,7 @@ from tpu_slam.ops.correlative import (
     find_valid_points,
 )
 from tpu_slam.solver.pose_graph import PoseGraphSolver
+from tpu_slam.utils.events import EventBus
 
 
 @dataclasses.dataclass
@@ -133,6 +134,9 @@ class KartoSLAM:
         self._last_scan_id: int | None = None
         self.loop_closures = 0
         self._base_buckets = {}
+        # MapperListener analogue (Mapper.h:35-83): loop-closure decisions
+        # and progress surface through this bus
+        self.events = EventBus()
 
         vp_filter = jax.jit(jax.vmap(find_valid_points, in_axes=(0, 0, None)))
         self._view_filter = vp_filter
@@ -415,6 +419,11 @@ class KartoSLAM:
                 do_penalize=False, do_fine=False,
             )
             cov = np.asarray(coarse.covariance)
+            self.events.loop_closure_check(
+                f"scan {sid} vs chain[{chain[0]}..{chain[-1]}]: coarse "
+                f"response {float(coarse.response):.3f}, var "
+                f"({cov[0, 0]:.3f}, {cov[1, 1]:.3f})"
+            )
             if (
                 float(coarse.response) > lp.loop_match_minimum_response_coarse
                 and cov[0, 0] < lp.loop_match_maximum_variance_coarse
@@ -425,6 +434,10 @@ class KartoSLAM:
                     np.asarray(coarse.pose, np.float64), do_penalize=False,
                 )
                 if float(fine.response) >= k.link_match_minimum_response_fine:
+                    self.events.begin_loop_closure(
+                        f"closing loop: scan {sid}, fine response "
+                        f"{float(fine.response):.3f}"
+                    )
                     rec.corrected_pose = np.asarray(fine.pose, np.float64)
                     # update solver's copy of this node before correcting
                     self.solver.set_node_pose(sid, rec.corrected_pose)
@@ -435,6 +448,9 @@ class KartoSLAM:
                     self._correct_poses()
                     self.loop_closures += 1
                     closed = True
+                    self.events.end_loop_closure(
+                        f"loop closed ({self.loop_closures} total)"
+                    )
         return closed
 
     # --- main entry ---------------------------------------------------------

@@ -1,0 +1,111 @@
+"""Checkpoint / resume.
+
+The reference has no live checkpointing (SURVEY §5): `karto::Dataset` retains
+every scan (Karto.h:6121) and the occupancy map is always rebuilt from the
+stored scans (`karto_slam.cc:511-512`) — i.e. *the scan store is the
+checkpoint*. This module formalizes that: serialize (scan points, validities,
+odometric + corrected poses, graph edges) and the grid states; resume and map
+regeneration come for free.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+if TYPE_CHECKING:
+    from tpu_slam.models.karto.pipeline import KartoSLAM
+
+
+def save_karto(slam: "KartoSLAM", path: str) -> None:
+    """Snapshot the full mapper state (scans + graph + running buffer)."""
+    recs = slam.scans
+    edges = slam.solver._edges
+    np.savez_compressed(
+        path,
+        pts=np.stack([r.pts_laser for r in recs]) if recs else np.zeros((0, 0, 2)),
+        valid=np.stack([r.beam_valid for r in recs]) if recs else np.zeros((0, 0), bool),
+        bary=np.stack([r.bary_local for r in recs]) if recs else np.zeros((0, 2)),
+        odom=np.stack([r.odom_pose for r in recs]) if recs else np.zeros((0, 3)),
+        corrected=np.stack([r.corrected_pose for r in recs]) if recs else np.zeros((0, 3)),
+        edge_i=np.asarray([e[0] for e in edges], np.int32),
+        edge_j=np.asarray([e[1] for e in edges], np.int32),
+        edge_mean=np.stack([e[2] for e in edges]) if edges else np.zeros((0, 3)),
+        edge_info=np.stack([e[3] for e in edges]) if edges else np.zeros((0, 3, 3)),
+        running=np.asarray(list(slam.running), np.int32),
+        meta=np.frombuffer(
+            json.dumps(
+                {
+                    "last_scan_id": slam._last_scan_id,
+                    "loop_closures": slam.loop_closures,
+                    "adjacency": {
+                        str(k): sorted(v) for k, v in slam.adjacency.items()
+                    },
+                }
+            ).encode(),
+            dtype=np.uint8,
+        ),
+    )
+
+
+def load_karto(slam: "KartoSLAM", path: str) -> None:
+    """Restore a mapper snapshot into a freshly-constructed KartoSLAM."""
+    from collections import deque
+
+    from tpu_slam.models.karto.pipeline import ScanRecord
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["meta"]).decode())
+    slam.scans = [
+        ScanRecord(
+            state_id=i,
+            pts_laser=z["pts"][i],
+            beam_valid=z["valid"][i],
+            bary_local=z["bary"][i],
+            odom_pose=z["odom"][i],
+            corrected_pose=z["corrected"][i],
+        )
+        for i in range(z["pts"].shape[0])
+    ]
+    slam.running = deque(int(i) for i in z["running"])
+    slam.adjacency = {
+        int(k): set(v) for k, v in meta["adjacency"].items()
+    }
+    slam._last_scan_id = meta["last_scan_id"]
+    slam.loop_closures = meta["loop_closures"]
+    slam.solver.clear()
+    for rec in slam.scans:
+        slam.solver.add_node(rec.state_id, rec.corrected_pose)
+    for k in range(z["edge_i"].shape[0]):
+        slam.solver.add_constraint(
+            int(z["edge_i"][k]), int(z["edge_j"][k]), z["edge_mean"][k],
+            information=z["edge_info"][k],
+        )
+
+
+def save_hector(slam, path: str) -> None:
+    """Snapshot a HectorSLAM instance (grids + pose)."""
+    np.savez_compressed(
+        path,
+        last_pose=np.asarray(slam.last_pose),
+        last_update=(
+            slam._last_map_update_pose
+            if slam._last_map_update_pose is not None
+            else np.full(3, np.nan)
+        ),
+        **{f"grid{i}": np.asarray(g) for i, g in enumerate(slam.grids)},
+    )
+
+
+def load_hector(slam, path: str) -> None:
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    slam.grids = [
+        jnp.asarray(z[f"grid{i}"]) for i in range(len(slam.grids))
+    ]
+    slam.last_pose = jnp.asarray(z["last_pose"])
+    lu = z["last_update"]
+    slam._last_map_update_pose = None if np.isnan(lu).any() else lu
