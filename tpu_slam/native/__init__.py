@@ -1,0 +1,121 @@
+"""ctypes bindings for the native host-side components.
+
+Builds `libtpu_slam_native.so` from tpu_slam_native.cpp on first use (g++,
+-O3 -march=native); everything degrades gracefully to the numpy fallbacks if
+no compiler is available (``available()`` reports the state).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "tpu_slam_native.cpp")
+_SO = os.path.join(_DIR, "libtpu_slam_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", _SRC, "-o", _SO,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+        _SRC
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    dp = ctypes.POINTER(ctypes.c_double)
+    fp = ctypes.POINTER(ctypes.c_float)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_int64
+    lib.ts_raycast.argtypes = [dp, i64, dp, dp, i64, ctypes.c_double, dp]
+    lib.ts_bresenham_masks.argtypes = [dp, dp, u8, i64, i64, i64, u8, u8]
+    lib.ts_decimate.argtypes = [fp, i64, i64, fp]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def raycast(segments: np.ndarray, origins: np.ndarray, angles: np.ndarray,
+            range_max: float) -> np.ndarray:
+    """Native batched ray/segment intersection (data/simulator.py fallback)."""
+    lib = _load()
+    seg = np.ascontiguousarray(segments, np.float64)
+    org = np.ascontiguousarray(origins, np.float64)
+    ang = np.ascontiguousarray(angles, np.float64)
+    out = np.empty(len(ang), np.float64)
+    if lib is None:
+        from tpu_slam.data.simulator import World, raycast as np_raycast
+
+        return np_raycast(World(seg), org, ang, range_max)
+    lib.ts_raycast(
+        seg.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(seg),
+        org.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ang.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(ang),
+        float(range_max),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
+
+
+def bresenham_masks(origin_cell: np.ndarray, end_cells: np.ndarray,
+                    valid: np.ndarray, w: int, h: int):
+    """Reference-exact Bresenham (free, occ) masks — the golden CPU check
+    for ops/gridmap.scan_masks. Requires the native library."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    oc = np.ascontiguousarray(origin_cell, np.float64)
+    ec = np.ascontiguousarray(end_cells, np.float64)
+    v = np.ascontiguousarray(valid, np.uint8)
+    free = np.zeros(w * h, np.uint8)
+    occ = np.zeros(w * h, np.uint8)
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    dp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    lib.ts_bresenham_masks(
+        dp(oc), dp(ec), u8p(v), len(ec), w, h, u8p(free), u8p(occ)
+    )
+    return free.reshape(h, w).astype(bool), occ.reshape(h, w).astype(bool)
+
+
+def decimate(ranges: np.ndarray, factor: int) -> np.ndarray:
+    """Min-filter beam decimation."""
+    lib = _load()
+    r = np.ascontiguousarray(ranges, np.float32)
+    if lib is None:
+        m = len(r) // factor
+        return r[: m * factor].reshape(m, factor).min(axis=1)
+    out = np.empty(len(r) // factor, np.float32)
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.ts_decimate(fp(r), len(r), factor, fp(out))
+    return out

@@ -67,6 +67,7 @@ def ray_cell_indices(
     valid: jax.Array,
     step_frac: float = 0.7,
     max_range: float | None = None,
+    stop_before_end: bool = True,
 ):
     """Sample every beam at ``step_frac × resolution`` along the ray.
 
@@ -93,9 +94,10 @@ def ray_cell_indices(
         origin_xy[..., None, None, :]
         + dirn[..., :, None, :] * t[None, :, None]
     )
+    margin = cfg.resolution if stop_before_end else 0.0
     free_ok = (
         valid[..., None]
-        & (t < (jnp.minimum(r, max_range) - cfg.resolution)[..., None])
+        & (t < (jnp.minimum(r, max_range) - margin)[..., None])
     )
     free_flat, free_inb = cell_index(cfg, world_to_cell(cfg, pts))
     free_idx = jnp.where(free_ok & free_inb, free_flat, OOB_INDEX)
@@ -117,8 +119,12 @@ def scan_masks(
     each cell at most once per scan; endpoint (occupied) wins over free
     (OccGridMapBase.h:302-330 update-index stamps)."""
     ncells = cfg.size_x * cfg.size_y
+    # free samples run all the way to the endpoint: the occupied-beats-free
+    # combination below removes endpoint cells, matching Bresenham's
+    # stop-before-end without losing the near-endpoint free band
     free_idx, end_idx = ray_cell_indices(
-        cfg, origin_xy, endpoints, valid, max_range=max_range
+        cfg, origin_xy, endpoints, valid, max_range=max_range,
+        stop_before_end=False,
     )
     free = jnp.zeros((ncells,), bool).at[free_idx.reshape(-1)].max(
         True, mode="drop"
