@@ -133,3 +133,34 @@ def test_training_step_runs_on_mesh():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_ring_loop_search_matches_direct():
+    from tpu_slam.parallel.loop_search import loop_candidates, make_ring_loop_search
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(4)
+    Q, K = 16, 64
+    queries = rng.uniform(-10, 10, (Q, 2)).astype(np.float32)
+    kfs = rng.uniform(-10, 10, (K, 2)).astype(np.float32)
+
+    f = make_ring_loop_search(mesh)
+    d2 = np.asarray(
+        f(
+            shard_batch(mesh, jnp.asarray(queries)),
+            shard_batch(mesh, jnp.asarray(kfs)),
+        )
+    )
+    direct = ((queries[:, None, :] - kfs[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, direct, rtol=1e-4, atol=1e-4)
+
+    # chain extraction semantics
+    row = np.full(20, 100.0)
+    row[3:9] = 1.0  # run of 6
+    row[12:15] = 1.0  # run of 3 (too short)
+    chains = loop_candidates(row, max_distance=2.0, min_chain=5)
+    assert chains == [[3, 4, 5, 6, 7, 8]]
+    chains = loop_candidates(
+        row, max_distance=2.0, min_chain=5, exclude={5}
+    )
+    assert chains == []  # excluded id breaks the run
