@@ -110,25 +110,33 @@ def build_correlation_grid(
     """
     g = params.grid_size
     c = params.center_cell
-    kern = jnp.asarray(smear_kernel(params))  # (K2h, K2h)
     h = params.half_kernel
 
     rel = (pts - center_xy) / params.resolution
     ix = jnp.round(rel[..., 0]).astype(jnp.int32) + c
     iy = jnp.round(rel[..., 1]).astype(jnp.int32) + c
     inb = (ix >= h + 1) & (ix < g - h - 1) & (iy >= h + 1) & (iy < g - h - 1)
-
-    offs = jnp.arange(-h, h + 1)
-    # patch indices around each endpoint: (K, K2h, K2h)
-    px = ix[:, None, None] + offs[None, :, None]
-    py = iy[:, None, None] + offs[None, None, :]
-    flat = py * g + px
-    vals = jnp.where(inb[:, None, None], kern[None, :, :], 0)
     OOB = g * g + 7
-    flat = jnp.where(inb[:, None, None] & valid[:, None, None], flat, OOB)
-    grid = jnp.zeros((g * g,), jnp.int32)
-    grid = grid.at[flat.reshape(-1)].max(vals.reshape(-1), mode="drop")
-    return grid.reshape(g, g)
+    flat = jnp.where(inb & valid, iy * g + ix, OOB)
+    occ = jnp.zeros((g * g,), pts.dtype).at[flat].max(1.0, mode="drop")
+    occ = occ.reshape(g, g)
+
+    # Gaussian max-dilation, SEPARABLE: exp(-(dx²+dy²)/2σ²) = kx(dx)·ky(dy)
+    # with all values ≥ 0, so max over the 2D window = two 1-D max passes
+    # (26 static shifts instead of a (K, kernel²) scatter whose XLA compile
+    # took ~60 s). Rounding is monotone, so round(max z·100) equals the
+    # reference's per-cell max of round(z·100) — int-exact parity holds.
+    d = jnp.arange(-h, h + 1, dtype=pts.dtype) * params.resolution
+    k1 = jnp.exp(-0.5 * (d / params.smear_deviation) ** 2)
+    pad = jnp.pad(occ, ((h, h), (h, h)))
+    rowmax = jnp.zeros_like(occ)
+    for j in range(2 * h + 1):
+        rowmax = jnp.maximum(rowmax, k1[j] * pad[h : h + g, j : j + g])
+    pad2 = jnp.pad(rowmax, ((h, h), (0, 0)))
+    out = jnp.zeros_like(occ)
+    for i in range(2 * h + 1):
+        out = jnp.maximum(out, k1[i] * pad2[i : i + g, :])
+    return jnp.round(out * GRID_OCCUPIED).astype(jnp.int32)
 
 
 class CorrelateResult(NamedTuple):
@@ -145,28 +153,45 @@ def _responses_for_angles(
     beam_valid,
     angles,
     cand_cells_flat,
+    element_budget: int = 24_000_000,
 ):
     """Numerators (nA, nCand) of the correlation response, int32-exact.
 
     cand_cells_flat: (nCand,) flat grid index of each candidate position.
     Beam cell offsets follow the reference's separate rounding of the rotated
     local point (GridIndexLookup::ComputeOffsets, Karto.h:6455-6500).
+
+    The (angles × candidates × beams) gather tensor is fully vectorized when
+    it fits ``element_budget``; beyond that (the 8 m loop matcher) angles are
+    processed in groups via lax.map so peak memory stays bounded. A
+    per-angle map was measured latency-bound on TPU (21 sequential steps).
     """
-    res_scale = 1.0  # pts_local are pre-divided by resolution
+    nA = angles.shape[0]
+    nC = cand_cells_flat.shape[0]
+    N = pts_local.shape[0]
 
-    def per_angle(angle):
-        c, s = jnp.cos(angle), jnp.sin(angle)
-        rx = c * pts_local[:, 0] - s * pts_local[:, 1]
-        ry = s * pts_local[:, 0] + c * pts_local[:, 1]
-        ox = jnp.round(rx).astype(jnp.int32)
-        oy = jnp.round(ry).astype(jnp.int32)
-        off_flat = oy * g + ox  # (N,)
-        idx = cand_cells_flat[:, None] + off_flat[None, :]  # (nCand, N)
-        ok = beam_valid[None, :] & (idx >= 0) & (idx < g * g)
+    def block(angs):  # (A,) → (A, nC) numerators
+        c = jnp.cos(angs)[:, None]
+        s = jnp.sin(angs)[:, None]
+        rx = c * pts_local[None, :, 0] - s * pts_local[None, :, 1]
+        ry = s * pts_local[None, :, 0] + c * pts_local[None, :, 1]
+        off_flat = (
+            jnp.round(ry).astype(jnp.int32) * g
+            + jnp.round(rx).astype(jnp.int32)
+        )  # (A, N)
+        idx = cand_cells_flat[None, :, None] + off_flat[:, None, :]
+        ok = beam_valid[None, None, :] & (idx >= 0) & (idx < g * g)
         vals = jnp.where(ok, grid_flat[jnp.clip(idx, 0, g * g - 1)], 0)
-        return jnp.sum(vals, axis=-1)  # (nCand,) int32
+        return jnp.sum(vals, axis=-1)  # (A, nC)
 
-    return jax.lax.map(per_angle, angles)
+    per = max(1, element_budget // max(nC * N, 1))
+    if per >= nA:
+        return block(angles)
+    pad = (-nA) % per
+    angs = jnp.concatenate([angles, jnp.zeros((pad,), angles.dtype)])
+    groups = angs.reshape(-1, per)
+    out = jax.lax.map(block, groups).reshape(-1, nC)
+    return out[:nA]
 
 
 def correlate_scan(
@@ -421,37 +446,56 @@ class CorrelativeMatcher:
             int(round(self.fine_angle_offset * 2.0 / p.fine_angle_offset)) + 1
         )
 
-        self._build = jax.jit(functools.partial(build_correlation_grid, p))
-        self._coarse_cache = {}
+        self._full_cache = {}
 
-        @jax.jit
-        def _fine(grid, grid_center, center, pts, bvalid):
-            r = correlate_scan(
-                grid, p, grid_center, center, pts, bvalid,
-                self.fine_x, self.fine_y, self.n_angles_fine,
-                self.fine_angle_offset, p.fine_angle_offset,
-                do_penalize=True,
-            )
-            return r
-
-        self._fine = _fine
-
-    def _coarse(self, angle_offset: float, do_penalize: bool):
-        key = (angle_offset, do_penalize)
-        if key not in self._coarse_cache:
+    def _full(self, angle_offset: float, do_penalize: bool, do_fine: bool):
+        """One fused device program per (angle window, penalty, fine) combo:
+        grid build → coarse correlate → positional covariance → fine
+        correlate → angular covariance. Host round-trips over a TPU tunnel
+        cost more than the whole match, so everything is one jit."""
+        key = (angle_offset, do_penalize, do_fine)
+        if key not in self._full_cache:
             p = self.p
             n_ang = int(round(angle_offset * 2.0 / p.angle_res)) + 1
 
             @jax.jit
-            def f(grid, grid_center, center, pts, bvalid):
-                return correlate_scan(
-                    grid, p, grid_center, center, pts, bvalid,
+            def f(base_pts, base_valid, pts, bvalid, scan_pose):
+                grid_center = scan_pose[:2]
+                grid = build_correlation_grid(
+                    p, grid_center, base_pts, base_valid
+                )
+                coarse = correlate_scan(
+                    grid, p, grid_center, scan_pose, pts, bvalid,
                     self.coarse_x, self.coarse_y, n_ang,
                     angle_offset, p.angle_res, do_penalize=do_penalize,
                 )
+                cov = positional_covariance(
+                    p, coarse.best_pose, coarse.best_response, scan_pose,
+                    self.coarse_x, self.coarse_y, p.angle_res,
+                    coarse.search_probs,
+                )
+                pose = coarse.best_pose
+                response = coarse.best_response
+                if do_fine:
+                    fine = correlate_scan(
+                        grid, p, grid_center, pose, pts, bvalid,
+                        self.fine_x, self.fine_y, self.n_angles_fine,
+                        self.fine_angle_offset, p.fine_angle_offset,
+                        do_penalize=True,
+                    )
+                    cov = angular_covariance(
+                        fine.best_pose, fine.best_response, pose,
+                        self.fine_angle_offset, p.fine_angle_offset,
+                        fine.angle_responses, cov,
+                    )
+                    pose = fine.best_pose
+                    response = fine.best_response
+                return MatchResult(
+                    pose, jnp.minimum(response, 1.0), cov
+                )
 
-            self._coarse_cache[key] = f
-        return self._coarse_cache[key]
+            self._full_cache[key] = f
+        return self._full_cache[key]
 
     def match(
         self,
@@ -464,39 +508,19 @@ class CorrelativeMatcher:
         do_fine: bool = True,
     ) -> MatchResult:
         p = self.p
-        grid_center = scan_pose[:2]
-        grid = self._build(grid_center, base_pts, base_valid)
-
-        coarse = self._coarse(p.angle_offset, do_penalize)(
-            grid, grid_center, scan_pose, scan_pts_laser, beam_valid
+        res = self._full(p.angle_offset, do_penalize, do_fine)(
+            base_pts, base_valid, scan_pts_laser, beam_valid, scan_pose
         )
-        best = float(coarse.best_response)
-        angle_offset = p.angle_offset
-        if self.use_response_expansion and best < KT_TOLERANCE:
+        if self.use_response_expansion and float(res.response) < KT_TOLERANCE:
+            angle_offset = p.angle_offset
             for i in range(3):  # widen by 20° up to 3 times (:242-272)
                 angle_offset += math.radians(20.0)
-                coarse = self._coarse(round(angle_offset, 6), do_penalize)(
-                    grid, grid_center, scan_pose, scan_pts_laser, beam_valid
+                res = self._full(
+                    round(angle_offset, 6), do_penalize, do_fine
+                )(
+                    base_pts, base_valid, scan_pts_laser, beam_valid,
+                    scan_pose,
                 )
-                best = float(coarse.best_response)
-                if best >= KT_TOLERANCE:
+                if float(res.response) >= KT_TOLERANCE:
                     break
-
-        cov = positional_covariance(
-            p, coarse.best_pose, coarse.best_response, scan_pose,
-            self.coarse_x, self.coarse_y, p.angle_res, coarse.search_probs,
-        )
-        pose = coarse.best_pose
-        response = coarse.best_response
-        if do_fine:
-            fine = self._fine(
-                grid, grid_center, pose, scan_pts_laser, beam_valid
-            )
-            cov = angular_covariance(
-                fine.best_pose, fine.best_response, pose,
-                self.fine_angle_offset, p.fine_angle_offset,
-                fine.angle_responses, cov,
-            )
-            pose = fine.best_pose
-            response = fine.best_response
-        return MatchResult(pose, jnp.minimum(response, 1.0), cov)
+        return res

@@ -301,58 +301,62 @@ class PoseGraphSolver:
         mask_d = jnp.asarray(mask)
         free_d = jnp.asarray(free)
 
-        cost_fn = jax.jit(
-            lambda p: graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
-        )
-
-        if use_dense:
-
-            @jax.jit
-            def step(p, lam):
+        # The entire doSPA LM loop (spa2d.cpp:455-607) runs as ONE device
+        # program: per-iteration host round-trips over a TPU tunnel cost more
+        # than the solves themselves (measured ~240 ms/iter host-driven vs
+        # ~ms on device). λ accept/reject and the ‖δ‖² stop are lax control
+        # flow; the iteration cap is static.
+        def lm_loop(p0, lam0):
+            def solve(p, lam):
                 Hd, Hij, b = normal_equations(
                     p, ei_d, ej_d, means_d, infos_d, mask_d, M
                 )
-                return dense_solve(Hd, Hij, ei_d, ej_d, b, lam, free_d)
-
-        else:
-
-            @jax.jit
-            def step(p, lam):
-                Hd, Hij, b = normal_equations(
-                    p, ei_d, ej_d, means_d, infos_d, mask_d, M
-                )
+                if use_dense:
+                    return dense_solve(Hd, Hij, ei_d, ej_d, b, lam, free_d)
                 return cg_solve(
                     Hd, Hij, ei_d, ej_d, b, lam, free_d,
                     cfg.cg_iterations, cfg.cg_tolerance,
                 )
 
-        @jax.jit
-        def apply(p, delta):
-            out = p + delta
-            th = jnp.arctan2(jnp.sin(out[:, 2]), jnp.cos(out[:, 2]))
-            return jnp.concatenate([out[:, :2], th[:, None]], axis=-1)
+            def cost_of(p):
+                return graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
 
-        # doSPA LM loop (spa2d.cpp:455-607)
-        lam = cfg.initial_lambda
-        laminc = 2.0
-        cost = float(cost_fn(poses_d))
-        cost0 = cost
-        good = 0
-        for it in range(iters):
-            delta = step(poses_d, lam)
-            sq = float(jnp.sum(delta * delta))
-            if sq < 1e-16:  # sqMinDelta (spa2d.cpp:458)
-                break
-            new_poses = apply(poses_d, delta)
-            new_cost = float(cost_fn(new_poses))
-            if new_cost < cost:
-                poses_d = new_poses
-                cost = new_cost
-                lam *= 0.5
-                good += 1
-            else:
-                lam *= laminc
-                laminc *= 2.0
+            def body(state):
+                p, lam, laminc, cost, it, good, _done = state
+                delta = solve(p, lam)
+                sq = jnp.sum(delta * delta)
+                converged = sq < 1e-16  # sqMinDelta (spa2d.cpp:458)
+                cand = p + delta
+                th = jnp.arctan2(jnp.sin(cand[:, 2]), jnp.cos(cand[:, 2]))
+                cand = jnp.concatenate([cand[:, :2], th[:, None]], axis=-1)
+                new_cost = cost_of(cand)
+                accept = (new_cost < cost) & ~converged
+                p = jnp.where(accept, cand, p)
+                cost = jnp.where(accept, new_cost, cost)
+                lam = jnp.where(accept, lam * 0.5, lam * laminc)
+                laminc = jnp.where(accept, laminc, laminc * 2.0)
+                good = good + accept.astype(jnp.int32)
+                return (p, lam, laminc, cost, it + 1, good, converged)
+
+            def cond(state):
+                _p, _l, _li, _c, it, _g, done = state
+                return (it < iters) & ~done
+
+            cost0 = cost_of(p0)
+            state = (
+                p0, jnp.asarray(lam0, p0.dtype),
+                jnp.asarray(2.0, p0.dtype), cost0,
+                jnp.int32(0), jnp.int32(0), jnp.asarray(False),
+            )
+            p, _, _, cost, _, good, _ = jax.lax.while_loop(cond, body, state)
+            return p, cost0, cost, good
+
+        poses_d, cost0_d, cost_d, good_d = jax.jit(lm_loop)(
+            poses_d, cfg.initial_lambda
+        )
+        cost0 = float(cost0_d)
+        cost = float(cost_d)
+        good = int(good_d)
 
         out = np.asarray(poses_d, np.float64)
         out[0] = self._poses[0]  # fixed node untouched
