@@ -164,3 +164,72 @@ def test_ring_loop_search_matches_direct():
         row, max_distance=2.0, min_chain=5, exclude={5}
     )
     assert chains == []  # excluded id breaks the run
+
+
+def test_sharded_logodds_update_matches_unsharded():
+    from tpu_slam.config import GridConfig, LogOddsConfig
+    from tpu_slam.ops import gridmap as gm
+    from tpu_slam.parallel.sharded_map import make_sharded_logodds_update
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    cfg = GridConfig(resolution=0.1, size_x=128, size_y=128,
+                     origin_x=-6.4, origin_y=-6.4)
+    lo = LogOddsConfig()
+    rng = np.random.default_rng(2)
+    n = 90
+    angles = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    ranges = rng.uniform(1.0, 5.5, n)
+    origin = jnp.asarray([0.3, -0.2], jnp.float32)
+    endpoints = jnp.asarray(
+        np.asarray(origin)
+        + np.stack([ranges * np.cos(angles), ranges * np.sin(angles)], -1),
+        jnp.float32,
+    )
+    valid = jnp.ones(n, bool)
+
+    want = gm.logodds_update_scan(
+        jnp.zeros((128 * 128,), jnp.float32), cfg, lo, origin, endpoints,
+        valid, max_range=6.0,
+    ).reshape(128, 128)
+
+    f = make_sharded_logodds_update(mesh, cfg, lo, max_range=6.0)
+    grid0 = jax.device_put(
+        jnp.zeros((128, 128), jnp.float32), NamedSharding(mesh, P("data"))
+    )
+    got = f(grid0, origin, endpoints, valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_sharded_hector_step_matches_unsharded():
+    from tpu_slam.config import GridConfig
+    from tpu_slam.ops.hector import gn_step
+    from tpu_slam.parallel.sharded_map import make_sharded_hector_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    cfg = GridConfig(resolution=0.1, size_x=128, size_y=128,
+                     origin_x=-6.4, origin_y=-6.4)
+    rng = np.random.default_rng(3)
+    prob = jnp.asarray(
+        rng.uniform(0, 1, (128, 128)).astype(np.float32)
+    )
+    n = 120
+    pts = jnp.asarray(rng.uniform(-4, 4, (n, 2)) / cfg.resolution,
+                      jnp.float32)
+    valid = jnp.ones(n, bool)
+    pose = jnp.asarray([64.0, 64.0, 0.1], jnp.float32)
+
+    want_pose, want_H = gn_step(
+        prob.reshape(-1), 128, 128, pose, pts, valid, 0.2
+    )
+
+    f = make_sharded_hector_step(mesh, cfg)
+    prob_s = jax.device_put(prob, NamedSharding(mesh, P("data")))
+    got_pose, got_H = f(prob_s, pose, pts, valid)
+    np.testing.assert_allclose(
+        np.asarray(got_pose), np.asarray(want_pose), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_H), np.asarray(want_H), rtol=1e-4, atol=1e-3
+    )
