@@ -183,3 +183,48 @@ def test_karto_occupancy_map():
     # events were fired during the run (at least loop closure checks)
     kinds = {e.kind for e in slam.events.history}
     assert "loop_closure_check" in kinds or slam.loop_closures == 0
+
+
+def test_config_from_yaml(tmp_path):
+    from tpu_slam.config import config_from_yaml
+
+    p = tmp_path / "params.yaml"
+    p.write_text(
+        "plicp:\n  max_iterations: 5\n  sigma: 0.02\n"
+        "karto:\n  minimum_travel_distance: 0.5\n"
+        "hector:\n  map_size: 256\n"
+    )
+    cfg = config_from_yaml(str(p))
+    assert cfg.plicp.max_iterations == 5
+    assert cfg.plicp.sigma == 0.02
+    assert cfg.karto.minimum_travel_distance == 0.5
+    assert cfg.hector.map_size == 256
+    # untouched defaults preserved
+    assert cfg.plicp.max_correspondence_dist == 1.0
+
+
+def test_karto_map_to_odom():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_karto import small_karto_cfg
+    from tpu_slam.models.karto.pipeline import KartoSLAM
+    from tpu_slam.data.scan import make_scan, index_scan
+    import jax.numpy as jnp
+    from tpu_slam import geometry as geo
+
+    cfg = small_karto_cfg()
+    world = sim.corridor_loop_world(arm=9.0, width=2.6)
+    traj = sim.loop_trajectory(arm=9.0, width=2.6, speed=0.9)[:5]
+    seq = sim.simulate_sequence(world, traj, cfg.scan, seed=1)
+    scans = make_scan(seq.ranges, cfg.scan)
+    slam = KartoSLAM(cfg)
+    slam.process(index_scan(scans, 0), seq.gt_poses[0])
+    m2o = slam.map_to_odom()
+    # map_to_odom ∘ odom == corrected
+    got = np.asarray(
+        geo.compose(jnp.asarray(m2o), jnp.asarray(seq.gt_poses[0]))
+    )
+    np.testing.assert_allclose(
+        got, slam.scans[0].corrected_pose, atol=1e-5
+    )

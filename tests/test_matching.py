@@ -123,3 +123,33 @@ def test_fused_pallas_matches_xla_path():
         np.asarray(fused.covariance), np.asarray(ref.covariance),
         rtol=1e-3, atol=1e-9,
     )
+
+
+def test_plicp_point_to_point_config():
+    """use_point_to_line_distance=0 → vanilla ICP inside the CSM loop
+    (plicp_odometry.cc:128-130)."""
+    import dataclasses
+
+    src, tgt, delta = two_scans(delta=(0.05, 0.02, 0.03))
+    cfg = dataclasses.replace(PLICPConfig(), use_point_to_line_distance=False)
+    res = plicp_match(src.points(), src.valid, tgt.points(), tgt.valid, cfg)
+    np.testing.assert_allclose(np.asarray(res.pose), delta, atol=0.03)
+
+
+def test_scan_match_plicp_node():
+    from tpu_slam.config import default_config
+    from tpu_slam.data import simulator as sim
+    from tpu_slam.data.scan import make_scan
+    from tpu_slam.models.scan_match_plicp import ScanMatchPLICP
+
+    cfg = default_config()
+    traj = sim.circle_trajectory(10, radius=1.5, angular_rate=0.6)
+    world = sim.office_world(seed=7, clear_path=traj)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, noise_std=0.003, seed=1)
+    node = ScanMatchPLICP(cfg)
+    node.run(make_scan(seq.ranges, cfg.scan))
+    # accumulated frame-to-frame pose ends near gt relative motion
+    gt_rel = np.asarray(
+        geo.relative(jnp.asarray(seq.gt_poses[0]), jnp.asarray(seq.gt_poses[-1]))
+    )
+    np.testing.assert_allclose(node.pose, gt_rel, atol=0.03)

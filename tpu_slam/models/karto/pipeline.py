@@ -490,6 +490,23 @@ class KartoSLAM:
         self._last_scan_id = rec.state_id
         return True
 
+    def map_to_odom(self) -> np.ndarray:
+        """The map→odom correction transform the reference publishes on TF
+        (karto_slam.cc:447-473): corrected_pose ∘ odom_pose⁻¹ of the last
+        processed scan, so that map_to_odom ∘ odom = corrected."""
+        if self._last_scan_id is None:
+            return np.zeros(3)
+        rec = self.scans[self._last_scan_id]
+        c, s = math.cos(rec.odom_pose[2]), math.sin(rec.odom_pose[2])
+        inv = np.array(
+            [
+                -(c * rec.odom_pose[0] + s * rec.odom_pose[1]),
+                -(-s * rec.odom_pose[0] + c * rec.odom_pose[1]),
+                -rec.odom_pose[2],
+            ]
+        )
+        return _np_compose(rec.corrected_pose, inv)
+
     def trajectory(self) -> np.ndarray:
         return np.asarray([r.corrected_pose for r in self.scans])
 
