@@ -11,6 +11,9 @@ from tpu_slam.data.scan import make_scan, index_scan, world_points
 from tpu_slam.ops.correlative import (
     CorrelativeMatcher,
     CorrelativeParams,
+    _lattice_stride,
+    _responses_for_angles,
+    _responses_sliced,
     build_correlation_grid,
     find_valid_points,
     smear_kernel,
@@ -66,6 +69,67 @@ def test_find_valid_points_keeps_ccw():
     # clockwise sweep → dropped
     keep_cw = find_valid_points(pts[::-1], valid, jnp.zeros(2))
     assert np.asarray(keep_cw).mean() < 0.3
+
+
+def test_lattice_stride_tolerates_f32_jitter():
+    """Offset tables built as -half + i*step in float32 wobble at the 1e-7
+    level; the stride detector must still see the integer lattice (a miss
+    silently lands on the ~16x slower gather path)."""
+    res = 0.05
+    n = 81
+    half = 0.5 * (161 - 1) * res
+    xo = np.asarray([-half + i * 2.0 * res for i in range(n)], np.float32)
+    assert _lattice_stride(xo, xo.copy(), res) == 2
+    fine = np.asarray([-res, 0.0, res], np.float32)
+    assert _lattice_stride(fine, fine.copy(), res) == 1
+    # genuinely non-uniform or off-lattice offsets are rejected
+    assert _lattice_stride(np.array([0.0, 0.05, 0.2]), xo, res) is None
+    assert _lattice_stride(np.array([0.0, 0.07]), np.array([0.0, 0.07]), res) is None
+
+
+def test_response_paths_bit_identical():
+    """The numerator implementations (random gather, batched window loads)
+    must agree bit-for-bit — both reproduce the reference's int32 response
+    sums (GetResponse, Mapper.cpp:819-856)."""
+    rng = np.random.default_rng(7)
+    p = params(search=1.6, res=0.05, rng_th=3.0)
+    g = p.grid_size
+    grid = jnp.asarray(
+        rng.integers(0, 101, size=(g, g), dtype=np.int32)
+    )
+    n = 96
+    r = rng.uniform(0.3, 2.9, n)
+    th = rng.uniform(-np.pi, np.pi, n)
+    pts_cells = jnp.asarray(
+        (np.stack([r * np.cos(th), r * np.sin(th)], -1) / p.resolution)
+        .astype(np.float32)
+    )
+    beam_valid = jnp.asarray(rng.random(n) > 0.1)
+    angles = jnp.asarray(
+        np.linspace(-0.3, 0.3, 9).astype(np.float32)
+    )
+    n_x = n_y = p.n_search // 2  # stride-2 coarse lattice
+    stride = 2
+    cand0 = jnp.asarray(
+        [p.center_cell - (n_x // 2) * stride] * 2, jnp.int32
+    )
+    cells = np.arange(n_x) * stride + int(cand0[0])
+    cand_flat = (
+        cells[:, None] * g + cells[None, :]
+    ).reshape(-1).astype(np.int32)  # y-major (rows=y)
+
+    gather = np.asarray(
+        _responses_for_angles(
+            grid.reshape(-1), g, pts_cells, beam_valid, angles,
+            jnp.asarray(cand_flat),
+        )
+    )
+    sliced = np.asarray(
+        _responses_sliced(
+            grid, pts_cells, beam_valid, angles, cand0, n_x, n_y, stride
+        )
+    )
+    np.testing.assert_array_equal(gather, sliced)
 
 
 @pytest.fixture(scope="module")

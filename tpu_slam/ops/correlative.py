@@ -194,6 +194,96 @@ def _responses_for_angles(
     return out[:nA]
 
 
+def _lattice_stride(
+    x_offsets: np.ndarray, y_offsets: np.ndarray, resolution: float
+) -> int | None:
+    """Integer cell stride of the candidate lattice, or None if the offsets
+    are not a uniform lattice whose step is a whole number of grid cells on
+    both axes (then the gather path must be used).
+
+    Tolerances absorb float32 accumulation jitter in offset tables built as
+    ``-half + i*step`` (a 1e-7-scale wobble must not silently kick the
+    matcher onto the ~16x slower gather path)."""
+    strides = []
+    for off in (x_offsets, y_offsets):
+        off = np.asarray(off, np.float64)
+        if len(off) < 2:
+            strides.append(1)
+            continue
+        k = (off[-1] - off[0]) / (len(off) - 1) / resolution
+        ki = int(round(k))
+        if ki < 1 or abs(k - ki) > 1e-3:
+            return None
+        # every offset must sit on the integer-stride lattice closely enough
+        # that per-candidate rounding could not disagree with the lattice
+        lattice = off[0] + np.arange(len(off)) * ki * resolution
+        if np.max(np.abs(off - lattice)) > 0.05 * resolution:
+            return None
+        strides.append(ki)
+    if strides[0] != strides[1]:
+        return None
+    return strides[0]
+
+
+def _responses_sliced(
+    grid,
+    pts_cells,
+    beam_valid,
+    angles,
+    cand0_xy,
+    n_x: int,
+    n_y: int,
+    stride: int,
+):
+    """Numerators (nA, nY·nX) via batched window accumulation: each beam's
+    response contribution over the whole candidate lattice is a CONTIGUOUS
+    (span_y, span_x) window of the correlation grid at the beam's rotated
+    cell offset, so per angle the search is one vmapped dynamic_slice over
+    beams + an int32 reduction — row-contiguous loads instead of
+    (angles × candidates × beams) random gathers. Measured on v5e for the
+    8 m loop matcher (81×81×21 search, 360 beams): 542 ms (gather) → 33 ms.
+    (An MXU conv formulation — scatter rotated beams into a one-hot kernel,
+    correlate with the grid — was also tried: 2.1 s; XLA cannot tile a
+    single-input-channel 481² conv kernel efficiently.)
+
+    Candidate cells form an exact integer-stride lattice because the search
+    offsets are integer multiples of the grid resolution (CorrelateScan's
+    xPoses/yPoses, Mapper.cpp:330).
+
+    cand0_xy: (2,) int32 grid cell of the first (lowest x, lowest y)
+    candidate. int32-exact like the gather path.
+    """
+    span_x = (n_x - 1) * stride + 1
+    span_y = (n_y - 1) * stride + 1
+    n = pts_cells.shape[0]
+
+    def slice_one(oyi, oxi, v):
+        w = jax.lax.dynamic_slice(
+            grid, (cand0_xy[1] + oyi, cand0_xy[0] + oxi), (span_y, span_x)
+        )
+        return jnp.where(v, w[::stride, ::stride], 0)  # (nY, nX)
+
+    def per_angle(angle):
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        ox = jnp.round(c * pts_cells[:, 0] - s * pts_cells[:, 1]).astype(
+            jnp.int32
+        )
+        oy = jnp.round(s * pts_cells[:, 0] + c * pts_cells[:, 1]).astype(
+            jnp.int32
+        )
+        # beams vectorized: one (n, span_y, span_x) batched-window load per
+        # angle (row-contiguous — far faster on TPU than per-element random
+        # gathers or a sequential per-beam scan), then an int32 reduction
+        W = jax.vmap(slice_one)(oy, ox, beam_valid)
+        return jnp.sum(W, axis=0).reshape(-1)  # (nY·nX,) y-major
+
+    # angles in memory-bounded batches: peak extra memory per mapped step is
+    # batch · n · span_y · span_x int32
+    budget = 64_000_000
+    bs = max(1, min(angles.shape[0], budget // max(n * span_y * span_x, 1)))
+    return jax.lax.map(per_angle, angles, batch_size=bs)
+
+
 def correlate_scan(
     grid: jax.Array,
     params: CorrelativeParams,
@@ -225,24 +315,36 @@ def correlate_scan(
     xo = jnp.asarray(x_offsets, dtype)
     yo = jnp.asarray(y_offsets, dtype)
 
-    # candidate grid cells: separate rounding of (center+offset − grid_center)
-    cand_xy = jnp.stack(
-        jnp.meshgrid(yo, xo, indexing="ij"), axis=-1
-    )  # (nY, nX, 2) [y, x]
-    cand_world = search_center[:2] + cand_xy[..., ::-1]
-    rel = (cand_world - grid_center_xy) / p.resolution
-    cix = jnp.round(rel[..., 0]).astype(jnp.int32) + p.center_cell
-    ciy = jnp.round(rel[..., 1]).astype(jnp.int32) + p.center_cell
-    cand_flat = (ciy * g + cix).reshape(-1)  # (nY*nX,)
-
     angles = search_center[2] - angle_offset + angle_res * jnp.arange(
         n_angles, dtype=dtype
     )
-
     pts_cells = scan_pts_laser / p.resolution
-    nums = _responses_for_angles(
-        grid_flat, g, pts_cells, beam_valid, angles, cand_flat
-    )  # (nA, nY*nX) int32
+
+    stride = _lattice_stride(x_offsets, y_offsets, p.resolution)
+    if stride is not None:
+        # offsets are integer multiples of the resolution (CorrelateScan's
+        # xPoses/yPoses, Mapper.cpp:330), so the candidate lattice has an
+        # exact integer stride and the windowed response paths apply; only
+        # the first candidate's cell needs the rounding below
+        rel0 = (search_center[:2] + jnp.stack([xo[0], yo[0]])
+                - grid_center_xy) / p.resolution
+        cand0 = jnp.round(rel0).astype(jnp.int32) + p.center_cell  # [x, y]
+        nums = _responses_sliced(
+            grid, pts_cells, beam_valid, angles, cand0, nX, nY, stride
+        )  # (nA, nY*nX) int32
+    else:
+        # irregular offsets: per-candidate rounding + random gathers
+        cand_xy = jnp.stack(
+            jnp.meshgrid(yo, xo, indexing="ij"), axis=-1
+        )  # (nY, nX, 2) [y, x]
+        cand_world = search_center[:2] + cand_xy[..., ::-1]
+        rel = (cand_world - grid_center_xy) / p.resolution
+        cix = jnp.round(rel[..., 0]).astype(jnp.int32) + p.center_cell
+        ciy = jnp.round(rel[..., 1]).astype(jnp.int32) + p.center_cell
+        cand_flat = (ciy * g + cix).reshape(-1)  # (nY*nX,)
+        nums = _responses_for_angles(
+            grid_flat, g, pts_cells, beam_valid, angles, cand_flat
+        )  # (nA, nY*nX) int32
     n_beams = jnp.maximum(jnp.sum(beam_valid), 1)
     resp = nums.astype(dtype) / (GRID_OCCUPIED * n_beams)  # (nA, nCand)
     resp = resp.reshape(n_angles, nY, nX)
