@@ -24,11 +24,18 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--nodes", type=int, default=512)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument(
+        "--schur", action="store_true",
+        help="Schur-complement submap factorization (solver/schur.py)",
+    )
+    ap.add_argument("--submaps", type=int, default=8)
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
 
     from tpu_slam.config import default_config
     from tpu_slam.solver.pose_graph import PoseGraphSolver
@@ -47,7 +54,11 @@ def main():
         dth = math.atan2(math.sin(b[2] - a[2]), math.cos(b[2] - a[2]))
         return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1], dth])
 
-    solver = PoseGraphSolver(default_config().solver)
+    scfg = dataclasses.replace(
+        default_config().solver,
+        use_schur=args.schur, schur_submaps=args.submaps,
+    )
+    solver = PoseGraphSolver(scfg)
     # noisy initial guesses (drifting odometry)
     noise = np.cumsum(rng.normal(0, [0.02, 0.02, 0.004], (M, 3)), axis=0)
     for i in range(M):

@@ -215,6 +215,11 @@ class SolverConfig:
     cg_iterations: int = 100  # CG cap for the iterative path
     cg_tolerance: float = 1e-10
     use_dense_below: int = 512  # nodes; dense Cholesky under this, CG above
+    # Schur-complement submap factorization (solver/schur.py): batched
+    # per-submap Cholesky + one reduced separator solve. Replaces the dense
+    # (3M)³ factorization when the graph is large.
+    use_schur: bool = False
+    schur_submaps: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -208,6 +208,64 @@ def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol):
     return x
 
 
+def _lm_loop_program(
+    p0, lam0, ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
+    *, M, use_dense, iters, cg_iterations, cg_tolerance,
+):
+    """The device-resident doSPA loop body (see PoseGraphSolver.compute)."""
+
+    def solve(p, lam):
+        if schur_part is not None:
+            from tpu_slam.solver.schur import schur_delta
+
+            return schur_delta(
+                schur_part, p, ei_d, ej_d, means_d, infos_d, mask_d,
+                lam, free_d,
+            )
+        Hd, Hij, b = normal_equations(
+            p, ei_d, ej_d, means_d, infos_d, mask_d, M
+        )
+        if use_dense:
+            return dense_solve(Hd, Hij, ei_d, ej_d, b, lam, free_d)
+        return cg_solve(
+            Hd, Hij, ei_d, ej_d, b, lam, free_d,
+            cg_iterations, cg_tolerance,
+        )
+
+    def cost_of(p):
+        return graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
+
+    def body(state):
+        p, lam, laminc, cost, it, good, _done = state
+        delta = solve(p, lam)
+        sq = jnp.sum(delta * delta)
+        converged = sq < 1e-16  # sqMinDelta (spa2d.cpp:458)
+        cand = p + delta
+        th = jnp.arctan2(jnp.sin(cand[:, 2]), jnp.cos(cand[:, 2]))
+        cand = jnp.concatenate([cand[:, :2], th[:, None]], axis=-1)
+        new_cost = cost_of(cand)
+        accept = (new_cost < cost) & ~converged
+        p = jnp.where(accept, cand, p)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.5, lam * laminc)
+        laminc = jnp.where(accept, laminc, laminc * 2.0)
+        good = good + accept.astype(jnp.int32)
+        return (p, lam, laminc, cost, it + 1, good, converged)
+
+    def cond(state):
+        _p, _l, _li, _c, it, _g, done = state
+        return (it < iters) & ~done
+
+    cost0 = cost_of(p0)
+    state = (
+        p0, jnp.asarray(lam0, p0.dtype),
+        jnp.asarray(2.0, p0.dtype), cost0,
+        jnp.int32(0), jnp.int32(0), jnp.asarray(False),
+    )
+    p, _, _, cost, _, good, _ = jax.lax.while_loop(cond, body, state)
+    return p, cost0, cost, good
+
+
 class SolveStats(NamedTuple):
     iterations: int
     initial_cost: float
@@ -230,6 +288,7 @@ class PoseGraphSolver:
         self._poses: list[np.ndarray] = []
         self._edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self._ids: dict[int, int] = {}  # external id → dense index
+        self._lm_cache: dict = {}  # shape key → compiled LM program
 
     # --- ScanSolver surface -------------------------------------------------
     def add_node(self, node_id: int, pose) -> None:
@@ -301,58 +360,40 @@ class PoseGraphSolver:
         mask_d = jnp.asarray(mask)
         free_d = jnp.asarray(free)
 
+        schur_part = None
+        if cfg.use_schur and self.num_nodes > 2 * cfg.schur_submaps:
+            from tpu_slam.solver.schur import build_partition
+
+            # host-side partition of the current graph (data-dependent);
+            # the device LM loop below consumes its fixed-shape index maps
+            schur_part = build_partition(
+                ei, ej, mask, M, cfg.schur_submaps
+            )
+
         # The entire doSPA LM loop (spa2d.cpp:455-607) runs as ONE device
         # program: per-iteration host round-trips over a TPU tunnel cost more
         # than the solves themselves (measured ~240 ms/iter host-driven vs
         # ~ms on device). λ accept/reject and the ‖δ‖² stop are lax control
-        # flow; the iteration cap is static.
-        def lm_loop(p0, lam0):
-            def solve(p, lam):
-                Hd, Hij, b = normal_equations(
-                    p, ei_d, ej_d, means_d, infos_d, mask_d, M
+        # flow; the iteration cap is static. Compiled programs are cached by
+        # (bucketed) shape so the growing SLAM graph reuses executables —
+        # graph content (edges, partition index maps) flows in as arguments.
+        key = (
+            M, E, use_dense, iters,
+            None if schur_part is None else tuple(
+                a.shape for a in jax.tree_util.tree_leaves(schur_part)
+            ),
+        )
+        if key not in self._lm_cache:
+            self._lm_cache[key] = jax.jit(
+                functools.partial(
+                    _lm_loop_program, M=M, use_dense=use_dense,
+                    iters=iters, cg_iterations=cfg.cg_iterations,
+                    cg_tolerance=cfg.cg_tolerance,
                 )
-                if use_dense:
-                    return dense_solve(Hd, Hij, ei_d, ej_d, b, lam, free_d)
-                return cg_solve(
-                    Hd, Hij, ei_d, ej_d, b, lam, free_d,
-                    cfg.cg_iterations, cfg.cg_tolerance,
-                )
-
-            def cost_of(p):
-                return graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
-
-            def body(state):
-                p, lam, laminc, cost, it, good, _done = state
-                delta = solve(p, lam)
-                sq = jnp.sum(delta * delta)
-                converged = sq < 1e-16  # sqMinDelta (spa2d.cpp:458)
-                cand = p + delta
-                th = jnp.arctan2(jnp.sin(cand[:, 2]), jnp.cos(cand[:, 2]))
-                cand = jnp.concatenate([cand[:, :2], th[:, None]], axis=-1)
-                new_cost = cost_of(cand)
-                accept = (new_cost < cost) & ~converged
-                p = jnp.where(accept, cand, p)
-                cost = jnp.where(accept, new_cost, cost)
-                lam = jnp.where(accept, lam * 0.5, lam * laminc)
-                laminc = jnp.where(accept, laminc, laminc * 2.0)
-                good = good + accept.astype(jnp.int32)
-                return (p, lam, laminc, cost, it + 1, good, converged)
-
-            def cond(state):
-                _p, _l, _li, _c, it, _g, done = state
-                return (it < iters) & ~done
-
-            cost0 = cost_of(p0)
-            state = (
-                p0, jnp.asarray(lam0, p0.dtype),
-                jnp.asarray(2.0, p0.dtype), cost0,
-                jnp.int32(0), jnp.int32(0), jnp.asarray(False),
             )
-            p, _, _, cost, _, good, _ = jax.lax.while_loop(cond, body, state)
-            return p, cost0, cost, good
-
-        poses_d, cost0_d, cost_d, good_d = jax.jit(lm_loop)(
-            poses_d, cfg.initial_lambda
+        poses_d, cost0_d, cost_d, good_d = self._lm_cache[key](
+            poses_d, jnp.asarray(cfg.initial_lambda, self.dtype),
+            ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
         )
         cost0 = float(cost0_d)
         cost = float(cost_d)
