@@ -17,6 +17,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument(
+        "--async-backend", action="store_true",
+        help="dispatch loop-closure solves asynchronously (pipeline "
+        "parallelism); the front-end keeps matching while the device "
+        "optimizes",
+    )
     ap.add_argument("--checkpoint", help="save mapper state here when done")
     args = ap.parse_args()
     if args.cpu:
@@ -50,7 +56,8 @@ def main():
             loop_match_minimum_chain_size=5,
         ),
         karto=dataclasses.replace(
-            cfg.karto, do_loop_closing=not args.no_loop
+            cfg.karto, do_loop_closing=not args.no_loop,
+            async_loop_closure=args.async_backend,
         ),
     )
 

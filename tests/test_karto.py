@@ -92,6 +92,23 @@ def test_karto_loop_closure_improves(loop_setup):
     assert ate < 0.2, ate
 
 
+def test_karto_async_loop_closure_matches_sync(loop_setup):
+    """Pipeline-parallel back-end: corrections dispatched asynchronously and
+    propagated chain-consistently must land within a few cm of the inline
+    (reference-semantics) solve."""
+    cfg, scans, seq, odom = loop_setup
+    cfg2 = dataclasses.replace(
+        cfg, karto=dataclasses.replace(cfg.karto, async_loop_closure=True)
+    )
+    slam = KartoSLAM(cfg2)
+    accepted = slam.run(scans, odom)
+    est = slam.trajectory()
+    gt = seq.gt_poses[accepted]
+    ate = ate_rmse(est, gt)
+    assert slam.loop_closures >= 1, "no loop closures found"
+    assert ate < 0.2, ate
+
+
 def test_karto_rejects_stationary(loop_setup):
     cfg, scans, seq, odom = loop_setup
     slam = KartoSLAM(cfg)

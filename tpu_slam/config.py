@@ -202,6 +202,12 @@ class KartoFrontEndConfig:
     use_scan_matching: bool = True
     use_scan_barycenter: bool = True
     do_loop_closing: bool = True
+    # pipeline parallelism (new vs reference, SURVEY §2.5): dispatch the
+    # loop-closure LM solve asynchronously and keep matching scans; the
+    # correction is harvested when the device finishes and propagated
+    # chain-consistently to scans accepted in the meantime. The reference
+    # blocks the front-end inline (Mapper.cpp:2063-2070).
+    async_loop_closure: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -93,6 +93,13 @@ def _np_rel(a, b):
     )
 
 
+def _np_inv(a):
+    c, s = math.cos(a[2]), math.sin(a[2])
+    return np.array(
+        [-(c * a[0] + s * a[1]), -(-s * a[0] + c * a[1]), -a[2]]
+    )
+
+
 class KartoSLAM:
     def __init__(self, cfg: SLAMConfig):
         self.cfg = cfg
@@ -128,6 +135,7 @@ class KartoSLAM:
             use_response_expansion=c.use_response_expansion,
         )
         self.solver = PoseGraphSolver(cfg.solver)
+        self._pending = None  # in-flight async back-end solve
         self.scans: list[ScanRecord] = []
         self.running: deque[int] = deque()
         self.adjacency: dict[int, set[int]] = {}
@@ -397,11 +405,52 @@ class KartoSLAM:
         )
 
     def _correct_poses(self):
-        """CorrectPoses (Mapper.cpp:1397-1414): solve + write back."""
+        """CorrectPoses (Mapper.cpp:1397-1414): solve + write back.
+
+        In async mode (cfg.karto.async_loop_closure) the solve is only
+        DISPATCHED here; `_poll_correction` applies it when the device
+        finishes, while scan processing continues — the pipeline-parallel
+        split the reference lacks (its solve blocks the scan callback)."""
+        if self.cfg.karto.async_loop_closure:
+            self._poll_correction(force=True)  # one solve in flight at most
+            self._pending = self.solver.compute_async()
+            return
         self.solver.compute()
         out = self.solver.get_poses()
         for rec, p in zip(self.scans, out):
             rec.corrected_pose = np.asarray(p, np.float64)
+
+    def _poll_correction(self, force: bool = False):
+        """Harvest a finished async solve: write the snapshot's corrected
+        poses, then propagate the correction chain-consistently to scans
+        accepted while the back-end was running (their relative odometry
+        hangs off the snapshot's last node)."""
+        if self._pending is None:
+            return
+        if not (force or self._pending.ready()):
+            return
+        pend, self._pending = self._pending, None
+        n = pend.n_nodes
+        old_last = self.scans[n - 1].corrected_pose.copy()
+        pend.harvest()
+        out = self.solver.get_poses()
+        for rec, p in zip(self.scans[:n], out[:n]):
+            rec.corrected_pose = np.asarray(p, np.float64)
+        if len(self.scans) > n:
+            T = _np_compose(
+                self.scans[n - 1].corrected_pose, _np_inv(old_last)
+            )
+            for rec in self.scans[n:]:
+                rec.corrected_pose = _np_compose(T, rec.corrected_pose)
+                self.solver.set_node_pose(rec.state_id, rec.corrected_pose)
+            self.events.debug(
+                f"async correction harvested: {n} solved nodes, "
+                f"{len(self.scans) - n} propagated"
+            )
+
+    def flush(self):
+        """Block until any in-flight back-end solve is applied."""
+        self._poll_correction(force=True)
 
     def _try_close_loop(self, rec: ScanRecord) -> bool:
         """TryCloseLoop (Mapper.cpp:976-1051)."""
@@ -458,6 +507,7 @@ class KartoSLAM:
         """Mapper::Process (Mapper.cpp:1999-2120). Returns True if the scan
         was accepted (moved enough) and integrated."""
         rec = self._make_record(scan, np.asarray(odom_pose, np.float64))
+        self._poll_correction()  # apply a finished async solve, if any
 
         # propagate last correction onto the odometric estimate (:2023-2024)
         if self._last_scan_id is not None:
@@ -508,6 +558,7 @@ class KartoSLAM:
         return _np_compose(rec.corrected_pose, inv)
 
     def trajectory(self) -> np.ndarray:
+        self.flush()
         return np.asarray([r.corrected_pose for r in self.scans])
 
     def run(self, scans: Scan, odom_poses: np.ndarray) -> np.ndarray:
@@ -517,4 +568,5 @@ class KartoSLAM:
         for t in range(scans.ranges.shape[0]):
             if self.process(index_scan(scans, t), odom_poses[t]):
                 accepted.append(t)
+        self.flush()
         return np.asarray(accepted)

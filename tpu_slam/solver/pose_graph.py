@@ -335,6 +335,18 @@ class PoseGraphSolver:
 
     def compute(self, max_iterations: int | None = None) -> SolveStats:
         """Run LM; updates stored poses in place (CorrectPoses harvest)."""
+        return self.compute_async(max_iterations).harvest()
+
+    def compute_async(
+        self, max_iterations: int | None = None
+    ) -> "PendingSolve":
+        """Dispatch the LM solve without blocking on the result.
+
+        JAX dispatch is asynchronous, so this returns as soon as the device
+        program is enqueued; the caller polls ``ready()`` and applies the
+        correction with ``harvest()`` — the front-end keeps processing scans
+        while the back-end optimizes (pipeline parallelism; the reference's
+        CorrectPoses blocks inline, Mapper.cpp:1397-1414)."""
         cfg = self.cfg
         iters = max_iterations or cfg.max_iterations
         M = self._bucket(max(self.num_nodes, 2))
@@ -391,22 +403,47 @@ class PoseGraphSolver:
                     cg_tolerance=cfg.cg_tolerance,
                 )
             )
-        poses_d, cost0_d, cost_d, good_d = self._lm_cache[key](
+        arrays = self._lm_cache[key](
             poses_d, jnp.asarray(cfg.initial_lambda, self.dtype),
             ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
         )
-        cost0 = float(cost0_d)
-        cost = float(cost_d)
-        good = int(good_d)
-
-        out = np.asarray(poses_d, np.float64)
-        out[0] = self._poses[0]  # fixed node untouched
-        for k in range(self.num_nodes):
-            self._poses[k] = out[k]
-        return SolveStats(good, cost0, cost)
+        return PendingSolve(self, arrays, self.num_nodes)
 
     def clear(self) -> None:
         """ScanSolver::Clear — drop graph (karto re-adds after loop)."""
         self._poses.clear()
         self._edges.clear()
         self._ids.clear()
+
+
+class PendingSolve:
+    """Handle to an in-flight LM solve (device arrays not yet fetched)."""
+
+    def __init__(self, solver: PoseGraphSolver, arrays, n_nodes: int):
+        self._solver = solver
+        self._arrays = arrays
+        self.n_nodes = n_nodes  # snapshot size: nodes included in the solve
+        self._stats: SolveStats | None = None
+
+    def ready(self) -> bool:
+        """True once the device result can be harvested without blocking."""
+        if self._stats is not None:
+            return True
+        is_ready = getattr(self._arrays[0], "is_ready", None)
+        return bool(is_ready()) if callable(is_ready) else True
+
+    def harvest(self) -> SolveStats:
+        """Fetch the result (blocking if needed) and write the corrected
+        poses of the snapshot's nodes back into the solver."""
+        if self._stats is not None:
+            return self._stats
+        poses_d, cost0_d, cost_d, good_d = self._arrays
+        s = self._solver
+        out = np.asarray(poses_d, np.float64)
+        out[0] = s._poses[0]  # fixed node untouched
+        for k in range(self.n_nodes):
+            s._poses[k] = out[k]
+        self._stats = SolveStats(
+            int(good_d), float(cost0_d), float(cost_d)
+        )
+        return self._stats
