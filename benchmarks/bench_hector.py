@@ -68,6 +68,23 @@ def main():
         lambda: slam._match_fn(slam.grids, pose0, pts, valid),
         lambda r: r[0],
     )
+    # XLA op-by-op path for comparison (the default off-TPU)
+    import jax
+    from tpu_slam.ops import gridmap as gm
+    from tpu_slam.ops.hector import match_multires
+
+    gcfgs = tuple(slam.grid_cfgs)
+
+    @jax.jit
+    def xla_match(grids, pose, pts, valid):
+        probs = [gm.occupancy_prob(g) for g in grids]
+        return match_multires(probs, gcfgs, pose, pts, valid, cfg.hector)
+
+    timeit(
+        "hector_match_xla",
+        lambda: xla_match(slam.grids, pose0, pts, valid),
+        lambda r: r[0],
+    )
     timeit(
         "hector_update",
         lambda: slam._update_fn(slam.grids, pose0, pts, valid),

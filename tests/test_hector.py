@@ -88,6 +88,48 @@ def hector_seq():
     return cfg, scans, seq
 
 
+def test_hector_fused_matches_xla(hector_seq):
+    """The fused Pallas matcher (interpret mode on CPU) must agree with the
+    XLA match_multires on identical grids/scan."""
+    from tpu_slam.models.hector_slam import HectorSLAM
+    from tpu_slam.ops import gridmap as gm
+    from tpu_slam.ops.pallas.hector_fused import hector_match_fused
+
+    cfg, scans, seq = hector_seq
+    slam = HectorSLAM(cfg)
+    pose0 = jnp.asarray(seq.gt_poses[0], jnp.float32)
+    for t in range(3):  # build some map
+        slam.update_only(index_scan(scans, t), seq.gt_poses[t])
+
+    s = index_scan(scans, 4)
+    pts = jnp.where(s.valid[..., None], s.points(), 0.0)
+    guess = jnp.asarray(seq.gt_poses[4] + [0.04, -0.03, 0.02], jnp.float32)
+
+    probs_flat = [
+        gm.occupancy_prob(g) for g in slam.grids
+    ]
+    ref_pose, ref_H = match_multires(
+        probs_flat, slam.grid_cfgs, guess, pts, s.valid, cfg.hector
+    )
+    grids2d = tuple(
+        p.reshape(g.size_y, g.size_x)
+        for p, g in zip(probs_flat, slam.grid_cfgs)
+    )
+    fused_pose, fused_H = hector_match_fused(
+        grids2d, tuple(slam.grid_cfgs), cfg.hector, guess, pts, s.valid,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_pose), np.asarray(ref_pose), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_H), np.asarray(ref_H), rtol=1e-3, atol=1e-2
+    )
+    # and it actually lands near the true pose
+    err = np.asarray(fused_pose) - seq.gt_poses[4]
+    assert abs(err[0]) < 0.03 and abs(err[1]) < 0.03
+
+
 def test_hector_slam_tracks(hector_seq):
     cfg, scans, seq = hector_seq
     slam = HectorSLAM(cfg)
