@@ -205,3 +205,73 @@ def test_response_expansion_recovers_large_rotation(match_setup):
     # closer-but-wrong candidates; the reference has the same behavior.
     # We only require the expansion to produce a nonzero response.
     assert float(res.response) > 0.0
+
+
+def test_match_chains_equals_sequential(match_setup):
+    """The batched multi-chain program (one dispatch for C chains) must
+    reproduce the sequential per-chain MatchScan results exactly, including
+    the fused world-transform + FindValidPoints view filter."""
+    scan_cfg, scans, pose_a, pose_b = match_setup
+    p = params()
+    m = CorrelativeMatcher(p, use_response_expansion=False)
+    sa, sb = index_scan(scans, 0), index_scan(scans, 1)
+    beam_valid = np.asarray(sb.valid & (sb.ranges <= p.range_threshold))
+    pts_l = np.where(beam_valid[..., None], np.asarray(sb.points()), 0.0)
+    guess = np.asarray(pose_b + np.array([0.05, -0.04, 0.04]), np.float32)
+
+    # three "chains": scan a at its pose, scan b at a nearby pose, and a
+    # two-scan chain — plus one padded-invalid lane
+    va = np.asarray(sa.valid & (sa.ranges <= p.range_threshold))
+    pa = np.where(va[..., None], np.asarray(sa.points()), 0.0).astype(
+        np.float32
+    )
+    vb = beam_valid
+    pb = pts_l.astype(np.float32)
+    n = pa.shape[0]
+    C, S = 4, 2
+    poses = np.zeros((C, S, 3), np.float32)
+    pts = np.zeros((C, S, n, 2), np.float32)
+    valid = np.zeros((C, S, n), bool)
+    poses[0, 0] = pose_a
+    pts[0, 0], valid[0, 0] = pa, va
+    poses[1, 0] = pose_b + np.array([0.03, 0.02, 0.01])
+    pts[1, 0], valid[1, 0] = pb, vb
+    poses[2, 0], poses[2, 1] = poses[0, 0], poses[1, 0]
+    pts[2, 0], pts[2, 1] = pa, pb
+    valid[2, 0], valid[2, 1] = va, vb
+    lane_valid = np.array([True, True, True, False])
+
+    batched = m.match_chains(
+        poses, pts, valid, pts_l.astype(np.float32), beam_valid, guess,
+        do_penalize=False, lane_valid=lane_valid,
+    )
+
+    from tpu_slam.ops.correlative import find_valid_points as fvp
+
+    for k in range(3):
+        wp_list, kp_list = [], []
+        for j in range(S):
+            wp = geo.apply(
+                jnp.asarray(poses[k, j]), jnp.asarray(pts[k, j])
+            )
+            kp = fvp(wp, jnp.asarray(valid[k, j]), jnp.asarray(guess[:2]))
+            wp_list.append(np.asarray(wp))
+            kp_list.append(np.asarray(kp))
+        base_pts = np.concatenate(wp_list)
+        base_keep = np.concatenate(kp_list)
+        seq = m.match(
+            jnp.asarray(base_pts), jnp.asarray(base_keep),
+            jnp.asarray(pts_l, jnp.float32), jnp.asarray(beam_valid),
+            jnp.asarray(guess), do_penalize=False,
+        )
+        np.testing.assert_allclose(
+            batched.pose[k], np.asarray(seq.pose), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            batched.response[k], float(seq.response), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            batched.covariance[k], np.asarray(seq.covariance), atol=1e-4
+        )
+    # padded lane: empty grid → zero response, MAX_VARIANCE covariance
+    assert batched.response[3] == 0.0

@@ -27,18 +27,14 @@ import dataclasses
 import math
 from collections import deque
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from tpu_slam import geometry as geo
 from tpu_slam.config import SLAMConfig
 from tpu_slam.data.scan import Scan, index_scan
 from tpu_slam.ops.correlative import (
     CorrelativeMatcher,
     CorrelativeParams,
     MatchResult,
-    find_valid_points,
 )
 from tpu_slam.solver.pose_graph import PoseGraphSolver
 from tpu_slam.utils.events import EventBus
@@ -146,11 +142,6 @@ class KartoSLAM:
         # and progress surface through this bus
         self.events = EventBus()
 
-        vp_filter = jax.jit(jax.vmap(find_valid_points, in_axes=(0, 0, None)))
-        self._view_filter = vp_filter
-        self._world_pts = jax.jit(
-            lambda poses, pts: geo.apply(poses[:, None, :], pts)
-        )
 
     # --- scan bookkeeping ---------------------------------------------------
     def _make_record(self, scan: Scan, odom_pose: np.ndarray) -> ScanRecord:
@@ -194,39 +185,60 @@ class KartoSLAM:
             b *= 2
         return b
 
-    def _base_points(self, ids: list[int], viewpoint: np.ndarray):
-        """AddScans: world points of base scans, view-filtered
-        (Mapper.cpp:699-763), padded to a power-of-two scan count."""
-        cap = self._bucket(max(len(ids), 1))
-        n = self.scans[ids[0]].pts_laser.shape[0]
-        poses = np.zeros((cap, 3), np.float32)
-        pts = np.zeros((cap, n, 2), np.float32)
-        valid = np.zeros((cap, n), bool)
-        for k, i in enumerate(ids):
-            rec = self.scans[i]
-            poses[k] = rec.corrected_pose
-            pts[k] = rec.pts_laser
-            valid[k] = rec.beam_valid
-        wp = self._world_pts(jnp.asarray(poses), jnp.asarray(pts))
-        keep = self._view_filter(
-            wp, jnp.asarray(valid), jnp.asarray(viewpoint, jnp.float32)
-        )
-        return wp.reshape(-1, 2), keep.reshape(-1)
+    def _chain_batch_inputs(self, chains: list[list[int]]):
+        """AddScans inputs for a group of chains (Mapper.cpp:699-763): each
+        lane carries one chain's scan poses + laser points, padded to a
+        power-of-two (lanes, scans) footprint so compiles stay bounded. The
+        world transform and view filter run inside the fused device program
+        (CorrelativeMatcher._full_chains)."""
+        cap_c = {1: 1, 2: 2}.get(len(chains), 4)
+        cap_s = self._bucket(max(len(c) for c in chains))
+        n = self.scans[0].pts_laser.shape[0]
+        poses = np.zeros((cap_c, cap_s, 3), np.float32)
+        pts = np.zeros((cap_c, cap_s, n, 2), np.float32)
+        valid = np.zeros((cap_c, cap_s, n), bool)
+        lane_valid = np.zeros(cap_c, bool)
+        for k, chain in enumerate(chains):
+            lane_valid[k] = True
+            for j, i in enumerate(chain):
+                r = self.scans[i]
+                poses[k, j] = r.corrected_pose
+                pts[k, j] = r.pts_laser
+                valid[k, j] = r.beam_valid
+        return poses, pts, valid, lane_valid
+
+    def _match_chains(
+        self, matcher: CorrelativeMatcher, rec: ScanRecord,
+        chains: list[list[int]], center_pose: np.ndarray,
+        do_penalize=True, do_fine=True,
+    ) -> list[MatchResult]:
+        """Match ``rec`` against every chain — ONE device dispatch + ONE
+        host sync per group of ≤4 chains (the reference runs one sequential
+        MatchScan per chain, Mapper.cpp:902-973 / :976-1051)."""
+        out = []
+        for g0 in range(0, len(chains), 4):
+            grp = chains[g0 : g0 + 4]
+            poses, pts, valid, lane_valid = self._chain_batch_inputs(grp)
+            r = matcher.match_chains(
+                poses, pts, valid, rec.pts_laser, rec.beam_valid,
+                np.asarray(center_pose, np.float32),
+                do_penalize=do_penalize, do_fine=do_fine,
+                lane_valid=lane_valid,
+            )
+            for k in range(len(grp)):
+                out.append(
+                    MatchResult(r.pose[k], r.response[k], r.covariance[k])
+                )
+        return out
 
     def _match(
         self, matcher: CorrelativeMatcher, rec: ScanRecord, ids: list[int],
         center_pose: np.ndarray, do_penalize=True, do_fine=True,
     ) -> MatchResult:
-        base_pts, base_valid = self._base_points(ids, center_pose[:2])
-        return matcher.match(
-            base_pts,
-            base_valid,
-            jnp.asarray(rec.pts_laser),
-            jnp.asarray(rec.beam_valid),
-            jnp.asarray(center_pose, jnp.float32),
-            do_penalize=do_penalize,
-            do_fine=do_fine,
-        )
+        return self._match_chains(
+            matcher, rec, [list(ids)], center_pose,
+            do_penalize=do_penalize, do_fine=do_fine,
+        )[0]
 
     # --- graph helpers ------------------------------------------------------
     def _link(self, i: int, j: int, mean_pose_j: np.ndarray, cov: np.ndarray):
@@ -323,21 +335,29 @@ class KartoSLAM:
             means.append(rec.corrected_pose.copy())
             covs.append(np.asarray(cov, np.float64))
             self._link_chain(list(self.running), sid, rec.corrected_pose, cov)
-        # 3) near chains
+        # 3) near chains — all matched in one batched device program
+        # (the reference's per-chain MatchScan loop, Mapper.cpp:928-967)
         k = self.cfg.karto
-        for chain in self._find_near_chains(sid):
-            if len(chain) < self.cfg.loop.loop_match_minimum_chain_size:
-                continue
-            res = self._match(
-                self.front_matcher, rec, chain, rec.corrected_pose,
+        chains = [
+            c
+            for c in self._find_near_chains(sid)
+            if len(c) >= self.cfg.loop.loop_match_minimum_chain_size
+        ]
+        if chains:
+            results = self._match_chains(
+                self.front_matcher, rec, chains, rec.corrected_pose,
                 do_penalize=False,
             )
-            if float(res.response) > k.link_match_minimum_response_fine - 1e-6:
-                mean = np.asarray(res.pose, np.float64)
-                c = np.asarray(res.covariance, np.float64)
-                means.append(mean)
-                covs.append(c)
-                self._link_chain(chain, sid, mean, c)
+            for chain, res in zip(chains, results):
+                if (
+                    float(res.response)
+                    > k.link_match_minimum_response_fine - 1e-6
+                ):
+                    mean = np.asarray(res.pose, np.float64)
+                    c = np.asarray(res.covariance, np.float64)
+                    means.append(mean)
+                    covs.append(c)
+                    self._link_chain(chain, sid, mean, c)
         if means:
             rec.corrected_pose = self._weighted_mean(means, covs)
 
@@ -453,54 +473,88 @@ class KartoSLAM:
         self._poll_correction(force=True)
 
     def _try_close_loop(self, rec: ScanRecord) -> bool:
-        """TryCloseLoop (Mapper.cpp:976-1051)."""
+        """TryCloseLoop (Mapper.cpp:976-1051).
+
+        The reference's while loop runs one coarse loop-match per candidate
+        chain sequentially. Failed attempts don't mutate state, so all
+        candidate chains (found host-side from the CURRENT poses) are coarse-
+        matched in one batched device program; only when a closure succeeds
+        (poses change) are the remaining candidates re-gathered from the new
+        poses — reproducing the sequential semantics exactly."""
         lp = self.cfg.loop
         k = self.cfg.karto
         sid = rec.state_id
         closed = False
         start = 0
         while True:
-            chain, start = self._find_possible_loop(sid, start)
-            if not chain:
+            # gather every candidate chain from the current poses (host only)
+            cands = []
+            s = start
+            while True:
+                chain, s = self._find_possible_loop(sid, s)
+                if not chain:
+                    break
+                cands.append((chain, s))
+            if not cands:
                 break
-            coarse = self._match(
-                self.loop_matcher, rec, chain, rec.corrected_pose,
-                do_penalize=False, do_fine=False,
+            coarse_all = self._match_chains(
+                self.loop_matcher, rec, [c for c, _ in cands],
+                rec.corrected_pose, do_penalize=False, do_fine=False,
             )
-            cov = np.asarray(coarse.covariance)
-            self.events.loop_closure_check(
-                f"scan {sid} vs chain[{chain[0]}..{chain[-1]}]: coarse "
-                f"response {float(coarse.response):.3f}, var "
-                f"({cov[0, 0]:.3f}, {cov[1, 1]:.3f})"
-            )
-            if (
-                float(coarse.response) > lp.loop_match_minimum_response_coarse
-                and cov[0, 0] < lp.loop_match_maximum_variance_coarse
-                and cov[1, 1] < lp.loop_match_maximum_variance_coarse
-            ):
-                fine = self._match(
-                    self.front_matcher, rec, chain,
-                    np.asarray(coarse.pose, np.float64), do_penalize=False,
-                )
-                if float(fine.response) >= k.link_match_minimum_response_fine:
-                    self.events.begin_loop_closure(
-                        f"closing loop: scan {sid}, fine response "
-                        f"{float(fine.response):.3f}"
-                    )
-                    rec.corrected_pose = np.asarray(fine.pose, np.float64)
-                    # update solver's copy of this node before correcting
-                    self.solver.set_node_pose(sid, rec.corrected_pose)
-                    self._link_chain(
-                        chain, sid, rec.corrected_pose,
-                        np.asarray(fine.covariance, np.float64),
-                    )
-                    self._correct_poses()
-                    self.loop_closures += 1
+            progressed = False
+            for (chain, nxt), coarse in zip(cands, coarse_all):
+                start = nxt
+                if self._attempt_loop_closure(rec, chain, coarse):
                     closed = True
-                    self.events.end_loop_closure(
-                        f"loop closed ({self.loop_closures} total)"
-                    )
+                    progressed = True
+                    break  # poses changed → re-gather remaining candidates
+            if not progressed:
+                break
         return closed
+
+    def _attempt_loop_closure(
+        self, rec: ScanRecord, chain: list[int], coarse: MatchResult
+    ) -> bool:
+        """Gates + fine match + correction of one candidate chain
+        (TryCloseLoop body, Mapper.cpp:984-1045)."""
+        lp = self.cfg.loop
+        k = self.cfg.karto
+        sid = rec.state_id
+        cov = np.asarray(coarse.covariance)
+        self.events.loop_closure_check(
+            f"scan {sid} vs chain[{chain[0]}..{chain[-1]}]: coarse "
+            f"response {float(coarse.response):.3f}, var "
+            f"({cov[0, 0]:.3f}, {cov[1, 1]:.3f})"
+        )
+        if not (
+            float(coarse.response) > lp.loop_match_minimum_response_coarse
+            and cov[0, 0] < lp.loop_match_maximum_variance_coarse
+            and cov[1, 1] < lp.loop_match_maximum_variance_coarse
+        ):
+            return False
+        fine = self._match(
+            self.front_matcher, rec, chain,
+            np.asarray(coarse.pose, np.float64), do_penalize=False,
+        )
+        if float(fine.response) < k.link_match_minimum_response_fine:
+            return False
+        self.events.begin_loop_closure(
+            f"closing loop: scan {sid}, fine response "
+            f"{float(fine.response):.3f}"
+        )
+        rec.corrected_pose = np.asarray(fine.pose, np.float64)
+        # update solver's copy of this node before correcting
+        self.solver.set_node_pose(sid, rec.corrected_pose)
+        self._link_chain(
+            chain, sid, rec.corrected_pose,
+            np.asarray(fine.covariance, np.float64),
+        )
+        self._correct_poses()
+        self.loop_closures += 1
+        self.events.end_loop_closure(
+            f"loop closed ({self.loop_closures} total)"
+        )
+        return True
 
     # --- main entry ---------------------------------------------------------
     def process(self, scan: Scan, odom_pose) -> bool:

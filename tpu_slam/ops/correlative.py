@@ -234,6 +234,7 @@ def _responses_sliced(
     n_x: int,
     n_y: int,
     stride: int,
+    element_budget: int = 64_000_000,
 ):
     """Numerators (nA, nY·nX) via batched window accumulation: each beam's
     response contribution over the whole candidate lattice is a CONTIGUOUS
@@ -279,8 +280,10 @@ def _responses_sliced(
 
     # angles in memory-bounded batches: peak extra memory per mapped step is
     # batch · n · span_y · span_x int32
-    budget = 64_000_000
-    bs = max(1, min(angles.shape[0], budget // max(n * span_y * span_x, 1)))
+    bs = max(
+        1,
+        min(angles.shape[0], element_budget // max(n * span_y * span_x, 1)),
+    )
     return jax.lax.map(per_angle, angles, batch_size=bs)
 
 
@@ -298,6 +301,7 @@ def correlate_scan(
     angle_res: float,
     do_penalize: bool,
     params_pen: CorrelativeParams | None = None,
+    element_budget: int | None = None,
 ) -> CorrelateResult:
     """One CorrelateScan pass (Mapper.cpp:309-523).
 
@@ -330,7 +334,8 @@ def correlate_scan(
                 - grid_center_xy) / p.resolution
         cand0 = jnp.round(rel0).astype(jnp.int32) + p.center_cell  # [x, y]
         nums = _responses_sliced(
-            grid, pts_cells, beam_valid, angles, cand0, nX, nY, stride
+            grid, pts_cells, beam_valid, angles, cand0, nX, nY, stride,
+            element_budget=element_budget or 64_000_000,
         )  # (nA, nY*nX) int32
     else:
         # irregular offsets: per-candidate rounding + random gathers
@@ -343,7 +348,8 @@ def correlate_scan(
         ciy = jnp.round(rel[..., 1]).astype(jnp.int32) + p.center_cell
         cand_flat = (ciy * g + cix).reshape(-1)  # (nY*nX,)
         nums = _responses_for_angles(
-            grid_flat, g, pts_cells, beam_valid, angles, cand_flat
+            grid_flat, g, pts_cells, beam_valid, angles, cand_flat,
+            element_budget=min(24_000_000, element_budget or 24_000_000),
         )  # (nA, nY*nX) int32
     n_beams = jnp.maximum(jnp.sum(beam_valid), 1)
     resp = nums.astype(dtype) / (GRID_OCCUPIED * n_beams)  # (nA, nCand)
@@ -550,53 +556,98 @@ class CorrelativeMatcher:
 
         self._full_cache = {}
 
+    def _match_fn(
+        self,
+        angle_offset: float,
+        do_penalize: bool,
+        do_fine: bool,
+        element_budget: int | None = None,
+    ):
+        """The (unjitted) fused match program: grid build → coarse correlate
+        → positional covariance → fine correlate → angular covariance."""
+        p = self.p
+        n_ang = int(round(angle_offset * 2.0 / p.angle_res)) + 1
+
+        def f(base_pts, base_valid, pts, bvalid, scan_pose):
+            grid_center = scan_pose[:2]
+            grid = build_correlation_grid(
+                p, grid_center, base_pts, base_valid
+            )
+            coarse = correlate_scan(
+                grid, p, grid_center, scan_pose, pts, bvalid,
+                self.coarse_x, self.coarse_y, n_ang,
+                angle_offset, p.angle_res, do_penalize=do_penalize,
+                element_budget=element_budget,
+            )
+            cov = positional_covariance(
+                p, coarse.best_pose, coarse.best_response, scan_pose,
+                self.coarse_x, self.coarse_y, p.angle_res,
+                coarse.search_probs,
+            )
+            pose = coarse.best_pose
+            response = coarse.best_response
+            if do_fine:
+                fine = correlate_scan(
+                    grid, p, grid_center, pose, pts, bvalid,
+                    self.fine_x, self.fine_y, self.n_angles_fine,
+                    self.fine_angle_offset, p.fine_angle_offset,
+                    do_penalize=True,
+                    element_budget=element_budget,
+                )
+                cov = angular_covariance(
+                    fine.best_pose, fine.best_response, pose,
+                    self.fine_angle_offset, p.fine_angle_offset,
+                    fine.angle_responses, cov,
+                )
+                pose = fine.best_pose
+                response = fine.best_response
+            return MatchResult(
+                pose, jnp.minimum(response, 1.0), cov
+            )
+
+        return f
+
     def _full(self, angle_offset: float, do_penalize: bool, do_fine: bool):
-        """One fused device program per (angle window, penalty, fine) combo:
-        grid build → coarse correlate → positional covariance → fine
-        correlate → angular covariance. Host round-trips over a TPU tunnel
-        cost more than the whole match, so everything is one jit."""
+        """One fused device program per (angle window, penalty, fine) combo.
+        Host round-trips over a TPU tunnel cost more than the whole match,
+        so everything is one jit."""
         key = (angle_offset, do_penalize, do_fine)
         if key not in self._full_cache:
-            p = self.p
-            n_ang = int(round(angle_offset * 2.0 / p.angle_res)) + 1
+            self._full_cache[key] = jax.jit(
+                self._match_fn(angle_offset, do_penalize, do_fine)
+            )
+        return self._full_cache[key]
 
-            @jax.jit
-            def f(base_pts, base_valid, pts, bvalid, scan_pose):
-                grid_center = scan_pose[:2]
-                grid = build_correlation_grid(
-                    p, grid_center, base_pts, base_valid
+    def _full_chains(
+        self, n_chains: int, angle_offset: float, do_penalize: bool,
+        do_fine: bool,
+    ):
+        """Batched variant: ONE device program matching the same scan against
+        ``n_chains`` independent base-scan sets (the near-chain / loop-chain
+        fan-out of MapperGraph::AddEdges and TryCloseLoop, Mapper.cpp:902-1051
+        — the reference runs these MatchScan calls sequentially). The
+        base-scan world transform and FindValidPoints view filter are fused
+        in, so a whole chain group costs one dispatch + one host sync."""
+        key = ("chains", n_chains, angle_offset, do_penalize, do_fine)
+        if key not in self._full_cache:
+            # the angle-group memory budget is shared across vmapped lanes
+            budget = max(2_000_000, 64_000_000 // n_chains)
+            core = self._match_fn(
+                angle_offset, do_penalize, do_fine, element_budget=budget
+            )
+
+            def one(base_poses, base_pts_l, base_valid, pts, bvalid, pose):
+                wp = geo.apply(base_poses[:, None, :], base_pts_l)
+                keep = jax.vmap(find_valid_points, in_axes=(0, 0, None))(
+                    wp, base_valid, pose[:2]
                 )
-                coarse = correlate_scan(
-                    grid, p, grid_center, scan_pose, pts, bvalid,
-                    self.coarse_x, self.coarse_y, n_ang,
-                    angle_offset, p.angle_res, do_penalize=do_penalize,
-                )
-                cov = positional_covariance(
-                    p, coarse.best_pose, coarse.best_response, scan_pose,
-                    self.coarse_x, self.coarse_y, p.angle_res,
-                    coarse.search_probs,
-                )
-                pose = coarse.best_pose
-                response = coarse.best_response
-                if do_fine:
-                    fine = correlate_scan(
-                        grid, p, grid_center, pose, pts, bvalid,
-                        self.fine_x, self.fine_y, self.n_angles_fine,
-                        self.fine_angle_offset, p.fine_angle_offset,
-                        do_penalize=True,
-                    )
-                    cov = angular_covariance(
-                        fine.best_pose, fine.best_response, pose,
-                        self.fine_angle_offset, p.fine_angle_offset,
-                        fine.angle_responses, cov,
-                    )
-                    pose = fine.best_pose
-                    response = fine.best_response
-                return MatchResult(
-                    pose, jnp.minimum(response, 1.0), cov
+                return core(
+                    wp.reshape(-1, 2), keep.reshape(-1), pts, bvalid, pose
                 )
 
-            self._full_cache[key] = f
+            self._full_cache[key] = jax.jit(
+                jax.vmap(one, in_axes=(0, 0, 0, None, None, None))
+            )
         return self._full_cache[key]
 
     def match(
@@ -626,3 +677,60 @@ class CorrelativeMatcher:
                 if float(res.response) >= KT_TOLERANCE:
                     break
         return res
+
+    def match_chains(
+        self,
+        base_poses: np.ndarray,
+        base_pts_laser: np.ndarray,
+        base_valid: np.ndarray,
+        scan_pts_laser: np.ndarray,
+        beam_valid: np.ndarray,
+        scan_pose: np.ndarray,
+        do_penalize: bool = True,
+        do_fine: bool = True,
+        lane_valid: np.ndarray | None = None,
+    ) -> MatchResult:
+        """Match one scan against C independent base-scan sets in ONE device
+        program + ONE host sync (vs the reference's C sequential MatchScan
+        calls in AddEdges/TryCloseLoop).
+
+        base_poses: (C, S, 3) corrected sensor poses of each chain's scans,
+        base_pts_laser: (C, S, N, 2) their laser-frame beam endpoints,
+        base_valid: (C, S, N); padded lanes/scans marked invalid.
+        lane_valid: (C,) — padded lanes excluded from response expansion.
+        Returns a MatchResult of host numpy arrays with leading C axis.
+        """
+        p = self.p
+        C = int(base_poses.shape[0])
+        res = self._full_chains(C, p.angle_offset, do_penalize, do_fine)(
+            jnp.asarray(base_poses), jnp.asarray(base_pts_laser),
+            jnp.asarray(base_valid), jnp.asarray(scan_pts_laser),
+            jnp.asarray(beam_valid), jnp.asarray(scan_pose),
+        )
+        poses = np.asarray(res.pose)
+        resps = np.asarray(res.response)
+        covs = np.asarray(res.covariance)
+        if self.use_response_expansion:
+            lanes = np.ones(C, bool) if lane_valid is None else np.asarray(
+                lane_valid, bool
+            )
+            for k in np.nonzero(lanes & (resps < KT_TOLERANCE))[0]:
+                angle_offset = p.angle_offset
+                for _ in range(3):  # rare path: widen per failing lane
+                    angle_offset += math.radians(20.0)
+                    r1 = self._full_chains(
+                        1, round(angle_offset, 6), do_penalize, do_fine
+                    )(
+                        jnp.asarray(base_poses[k : k + 1]),
+                        jnp.asarray(base_pts_laser[k : k + 1]),
+                        jnp.asarray(base_valid[k : k + 1]),
+                        jnp.asarray(scan_pts_laser),
+                        jnp.asarray(beam_valid),
+                        jnp.asarray(scan_pose),
+                    )
+                    if float(r1.response[0]) >= KT_TOLERANCE:
+                        break
+                poses[k] = np.asarray(r1.pose[0])
+                resps[k] = float(r1.response[0])
+                covs[k] = np.asarray(r1.covariance[0])
+        return MatchResult(poses, resps, covs)
