@@ -69,3 +69,96 @@ def test_decimate():
     r = np.array([3.0, 1.0, 2.0, 5.0, 4.0, 0.5], np.float32)
     out = native.decimate(r, 2)
     np.testing.assert_allclose(out, [1.0, 2.0, 0.5])
+
+
+class TestNativeBagDecoder:
+    """ts_bag_* native decoder vs the pure-python reader (golden)."""
+
+    def _make_bag(self, tmp_path, compression):
+        import numpy as np
+        from tpu_slam.data import rosbag
+
+        rng = np.random.default_rng(7)
+        msgs = []
+        for i in range(5):
+            scan = {
+                "stamp": 10.0 + 0.1 * i,
+                "angle_min": -1.5,
+                "angle_max": 1.5,
+                "angle_increment": 0.05,
+                "time_increment": 1e-4,
+                "scan_time": 0.1,
+                "range_min": 0.1,
+                "range_max": 8.0,
+                "ranges": rng.uniform(0.3, 7.0, 61).astype(np.float32),
+            }
+            msgs.append(
+                ("scan", "sensor_msgs/LaserScan", scan["stamp"],
+                 rosbag.serialize_laser_scan(scan))
+            )
+            msgs.append(
+                ("imu", "sensor_msgs/Imu", scan["stamp"],
+                 rosbag.serialize_imu(scan["stamp"], 0.1 * i,
+                                      [0.0, 0.0, 0.2 + 0.01 * i]))
+            )
+            msgs.append(
+                ("odom", "nav_msgs/Odometry", scan["stamp"],
+                 rosbag.serialize_odometry(
+                     scan["stamp"], [0.1 * i, -0.05 * i, 0.02 * i],
+                     twist=[0.9, 0.0, 0.2]))
+            )
+        path = str(tmp_path / f"test_{compression}.bag")
+        rosbag.write_bag(path, msgs, compression=compression)
+        return path, msgs
+
+    @pytest.mark.parametrize("compression", ["none", "bz2"])
+    def test_scan_decode_matches_python(self, tmp_path, compression):
+        import numpy as np
+        from tpu_slam import native
+        from tpu_slam.data import rosbag
+
+        if not native.available():
+            pytest.skip("no native library")
+        path, _ = self._make_bag(tmp_path, compression)
+        out = native.bag_read_scans(path, "scan")
+        assert out is not None
+        ranges, stamps, meta = out
+        py = [p for m, p in rosbag.parse_messages(path, {"scan"})]
+        assert ranges.shape == (5, 61)
+        for i, parsed in enumerate(py):
+            np.testing.assert_array_equal(ranges[i], parsed["ranges"])
+            assert abs(stamps[i] - parsed["stamp"]) < 1e-6
+        for k in ("angle_min", "angle_increment", "range_max"):
+            assert abs(meta[k] - py[0][k]) < 1e-6
+
+    def test_loader_prefers_native_and_matches(self, tmp_path):
+        import numpy as np
+        from tpu_slam.data import rosbag
+
+        path, _ = self._make_bag(tmp_path, "bz2")
+        ranges, stamps, meta = rosbag.load_scan_array(path, "scan")
+        assert ranges.shape == (5, 61) and len(stamps) == 5
+        assert meta["range_min"] == pytest.approx(0.1)
+
+    def test_imu_odom_decode(self, tmp_path):
+        import numpy as np
+        from tpu_slam import native
+        from tpu_slam.data import rosbag
+
+        if not native.available():
+            pytest.skip("no native library")
+        path, _ = self._make_bag(tmp_path, "none")
+        stamps, yaw, gyro = native.bag_read_imu(path, "imu")
+        py = [p for m, p in rosbag.parse_messages(path, {"imu"})]
+        assert len(stamps) == 5
+        for i, parsed in enumerate(py):
+            assert yaw[i] == pytest.approx(parsed["yaw"], abs=1e-9)
+            np.testing.assert_allclose(
+                gyro[i], parsed["angular_velocity"], atol=1e-12
+            )
+        stamps, pose, twist = native.bag_read_odom(path, "odom")
+        pyo = [p for m, p in rosbag.parse_messages(path, {"odom"})]
+        for i, parsed in enumerate(pyo):
+            np.testing.assert_allclose(pose[i], parsed["pose"], atol=1e-9)
+            assert twist[i][0] == pytest.approx(0.9)
+            assert twist[i][2] == pytest.approx(0.2)

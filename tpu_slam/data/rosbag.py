@@ -280,8 +280,48 @@ def parse_messages(
             yield msg, parser(msg.raw)
 
 
-def write_bag(path: str, messages: list[tuple[str, str, float, bytes]]) -> None:
-    """Minimal unchunked rosbag 2.0 writer (topic, type, stamp, raw body).
+def load_scan_array(path: str, topic: str):
+    """Bulk-load a LaserScan stream as arrays: (ranges (M, N) f32, stamps
+    (M,) f64, meta dict). Prefers the native C++ decoder (tpu_slam/native,
+    ts_bag_read_scans — one pass, zero-copy into numpy); falls back to this
+    module's pure-python parser when the native library is unavailable.
+    This is the L0 data-loader feeding device arrays (rosbag play → host
+    pipeline, SURVEY §1)."""
+    from tpu_slam import native
+
+    out = native.bag_read_scans(path, topic)
+    if out is not None:
+        return out
+    ranges, stamps, meta = [], [], None
+    for msg, parsed in parse_messages(path, {topic}):
+        if msg.msg_type != "sensor_msgs/LaserScan":
+            continue
+        ranges.append(parsed["ranges"])
+        stamps.append(parsed["stamp"])
+        if meta is None:
+            meta = {
+                k: float(parsed[k])
+                for k in (
+                    "angle_min", "angle_max", "angle_increment",
+                    "time_increment", "scan_time", "range_min", "range_max",
+                )
+            }
+    if not ranges:
+        return np.zeros((0, 0), np.float32), np.zeros(0), {}
+    n = max(len(r) for r in ranges)
+    arr = np.full((len(ranges), n), np.inf, np.float32)
+    for i, r in enumerate(ranges):
+        arr[i, : len(r)] = r
+    return arr, np.asarray(stamps, np.float64), meta
+
+
+def write_bag(
+    path: str,
+    messages: list[tuple[str, str, float, bytes]],
+    compression: str = "none",
+) -> None:
+    """Minimal rosbag 2.0 writer (topic, type, stamp, raw body) with one
+    chunk, optionally bz2-compressed like the lesson bags.
 
     Exists so the reader is testable without the missing lesson bags and so
     simulated sequences can be exported in bag form.
@@ -341,16 +381,62 @@ def write_bag(path: str, messages: list[tuple[str, str, float, bytes]]) -> None:
             },
             raw,
         )
+    payload = bytes(chunk)
+    if compression == "bz2":
+        payload = bz2.compress(payload)
+    elif compression != "none":
+        raise ValueError(f"unsupported compression {compression!r}")
     rec(
         {
             "op": bytes([_OP_CHUNK]),
-            "compression": b"none",
+            "compression": compression.encode(),
             "size": struct.pack("<I", len(chunk)),
         },
-        bytes(chunk),
+        payload,
     )
     with open(path, "wb") as f:
         f.write(out)
+
+
+def _ser_header(stamp: float, frame: str) -> bytes:
+    out = bytearray(struct.pack("<I", 0))  # seq
+    sec = int(stamp)
+    out.extend(struct.pack("<II", sec, int((stamp - sec) * 1e9)))
+    f = frame.encode()
+    out.extend(struct.pack("<I", len(f)) + f)
+    return bytes(out)
+
+
+def _yaw_quat(yaw: float) -> np.ndarray:
+    return np.array([0.0, 0.0, np.sin(yaw / 2.0), np.cos(yaw / 2.0)])
+
+
+def serialize_imu(stamp: float, yaw: float, gyro, frame="imu") -> bytes:
+    """Inverse of parse_imu (orientation from yaw, zero covariances)."""
+    out = bytearray(_ser_header(stamp, frame))
+    out.extend(_yaw_quat(yaw).astype("<f8").tobytes())
+    out.extend(np.zeros(9, "<f8").tobytes())
+    out.extend(np.asarray(gyro, "<f8").tobytes())
+    out.extend(np.zeros(9, "<f8").tobytes())
+    out.extend(np.zeros(3, "<f8").tobytes())  # accel
+    out.extend(np.zeros(9, "<f8").tobytes())
+    return bytes(out)
+
+
+def serialize_odometry(
+    stamp: float, pose, twist=(0.0, 0.0, 0.0), frame="odom", child="base_link"
+) -> bytes:
+    """Inverse of parse_odometry (pose = (x, y, yaw), twist = (vx, vy, wz))."""
+    out = bytearray(_ser_header(stamp, frame))
+    c = child.encode()
+    out.extend(struct.pack("<I", len(c)) + c)
+    out.extend(np.array([pose[0], pose[1], 0.0], "<f8").tobytes())
+    out.extend(_yaw_quat(float(pose[2])).astype("<f8").tobytes())
+    out.extend(np.zeros(36, "<f8").tobytes())
+    out.extend(np.array([twist[0], twist[1], 0.0], "<f8").tobytes())
+    out.extend(np.array([0.0, 0.0, twist[2]], "<f8").tobytes())
+    out.extend(np.zeros(36, "<f8").tobytes())
+    return bytes(out)
 
 
 def serialize_laser_scan(scan: dict) -> bytes:

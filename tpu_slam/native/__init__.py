@@ -55,9 +55,18 @@ def _load():
     fp = ctypes.POINTER(ctypes.c_float)
     u8 = ctypes.POINTER(ctypes.c_uint8)
     i64 = ctypes.c_int64
+    cs = ctypes.c_char_p
     lib.ts_raycast.argtypes = [dp, i64, dp, dp, i64, ctypes.c_double, dp]
     lib.ts_bresenham_masks.argtypes = [dp, dp, u8, i64, i64, i64, u8, u8]
     lib.ts_decimate.argtypes = [fp, i64, i64, fp]
+    lib.ts_bag_count.argtypes = [cs, cs, ctypes.POINTER(i64)]
+    lib.ts_bag_count.restype = i64
+    lib.ts_bag_read_scans.argtypes = [cs, cs, i64, i64, fp, dp, dp]
+    lib.ts_bag_read_scans.restype = i64
+    lib.ts_bag_read_imu.argtypes = [cs, cs, i64, dp, dp, dp]
+    lib.ts_bag_read_imu.restype = i64
+    lib.ts_bag_read_odom.argtypes = [cs, cs, i64, dp, dp, dp]
+    lib.ts_bag_read_odom.restype = i64
     _lib = lib
     return _lib
 
@@ -119,3 +128,81 @@ def decimate(ranges: np.ndarray, factor: int) -> np.ndarray:
     fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     lib.ts_decimate(fp(r), len(r), factor, fp(out))
     return out
+
+
+def _dp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def bag_read_scans(path: str, topic: str):
+    """Native bulk LaserScan decode: (ranges (M, N) f32, stamps (M,) f64,
+    meta dict). Returns None when the native path can't handle the bag
+    (library unavailable / bz2 chunks without libbz2) — caller falls back
+    to the pure-python reader."""
+    lib = _load()
+    if lib is None:
+        return None
+    beams = ctypes.c_int64(0)
+    n = lib.ts_bag_count(path.encode(), topic.encode(), ctypes.byref(beams))
+    if n < 0 or beams.value <= 0:
+        return None
+    ranges = np.empty((n, beams.value), np.float32)
+    stamps = np.empty(n, np.float64)
+    meta = np.zeros(7, np.float64)
+    got = lib.ts_bag_read_scans(
+        path.encode(), topic.encode(), n, beams.value,
+        ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _dp(stamps), _dp(meta),
+    )
+    if got < 0:
+        return None
+    keys = (
+        "angle_min", "angle_max", "angle_increment", "time_increment",
+        "scan_time", "range_min", "range_max",
+    )
+    return (
+        ranges[:got],
+        stamps[:got],
+        {k: float(v) for k, v in zip(keys, meta)},
+    )
+
+
+def bag_read_imu(path: str, topic: str):
+    """Native bulk Imu decode: (stamps, yaw, gyro (M, 3)) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    beams = ctypes.c_int64(0)
+    n = lib.ts_bag_count(path.encode(), topic.encode(), ctypes.byref(beams))
+    if n < 0:
+        return None
+    stamps = np.empty(n, np.float64)
+    yaw = np.empty(n, np.float64)
+    gyro = np.empty((n, 3), np.float64)
+    got = lib.ts_bag_read_imu(
+        path.encode(), topic.encode(), n, _dp(stamps), _dp(yaw), _dp(gyro)
+    )
+    if got < 0:
+        return None
+    return stamps[:got], yaw[:got], gyro[:got]
+
+
+def bag_read_odom(path: str, topic: str):
+    """Native bulk Odometry decode: (stamps, pose (M, 3), twist (M, 3))
+    or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    beams = ctypes.c_int64(0)
+    n = lib.ts_bag_count(path.encode(), topic.encode(), ctypes.byref(beams))
+    if n < 0:
+        return None
+    stamps = np.empty(n, np.float64)
+    pose = np.empty((n, 3), np.float64)
+    twist = np.empty((n, 3), np.float64)
+    got = lib.ts_bag_read_odom(
+        path.encode(), topic.encode(), n, _dp(stamps), _dp(pose), _dp(twist)
+    )
+    if got < 0:
+        return None
+    return stamps[:got], pose[:got], twist[:got]
