@@ -100,6 +100,8 @@ def main():
     )
     for ev in slam.events.history[-3:]:
         print(f"  event [{ev.kind}] {ev.message}")
+    print("stage timing (host wall incl. device sync):")
+    print("  " + slam.timer.report().replace("\n", "\n  "))
 
     if args.checkpoint:
         from tpu_slam.utils.checkpoint import save_karto

@@ -38,6 +38,7 @@ from tpu_slam.ops.correlative import (
 )
 from tpu_slam.solver.pose_graph import PoseGraphSolver
 from tpu_slam.utils.events import EventBus
+from tpu_slam.utils.profiling import StageTimer
 
 
 @dataclasses.dataclass
@@ -141,6 +142,8 @@ class KartoSLAM:
         # MapperListener analogue (Mapper.h:35-83): loop-closure decisions
         # and progress surface through this bus
         self.events = EventBus()
+        # per-stage wall clocks (the reference's chrono prints, SURVEY §5)
+        self.timer = StageTimer()
 
 
     # --- scan bookkeeping ---------------------------------------------------
@@ -180,9 +183,17 @@ class KartoSLAM:
 
     # --- matching helpers ---------------------------------------------------
     def _bucket(self, n: int) -> int:
-        b = 4
+        """Padded scan-count ladder. Each distinct shape is a separate XLA
+        executable (an expensive compile/cache-load over a remote device
+        link), so the ladder is SHORT: padding only grows the endpoint
+        scatter of the grid build — the smear + response search that
+        dominate the program are shape-independent in the scan count."""
+        for b in (16, 128, 512):
+            if n <= b:
+                return b
+        b = 512
         while b < n:
-            b *= 2
+            b *= 4
         return b
 
     def _chain_batch_inputs(self, chains: list[list[int]]):
@@ -435,7 +446,8 @@ class KartoSLAM:
             self._poll_correction(force=True)  # one solve in flight at most
             self._pending = self.solver.compute_async()
             return
-        self.solver.compute()
+        with self.timer.stage("solve"):
+            self.solver.compute()
         out = self.solver.get_poses()
         for rec, p in zip(self.scans, out):
             rec.corrected_pose = np.asarray(p, np.float64)
@@ -497,10 +509,11 @@ class KartoSLAM:
                 cands.append((chain, s))
             if not cands:
                 break
-            coarse_all = self._match_chains(
-                self.loop_matcher, rec, [c for c, _ in cands],
-                rec.corrected_pose, do_penalize=False, do_fine=False,
-            )
+            with self.timer.stage("loop_coarse"):
+                coarse_all = self._match_chains(
+                    self.loop_matcher, rec, [c for c, _ in cands],
+                    rec.corrected_pose, do_penalize=False, do_fine=False,
+                )
             progressed = False
             for (chain, nxt), coarse in zip(cands, coarse_all):
                 start = nxt
@@ -574,10 +587,11 @@ class KartoSLAM:
 
         cov = np.eye(3)
         if self.cfg.karto.use_scan_matching and self._last_scan_id is not None:
-            res = self._match(
-                self.front_matcher, rec, list(self.running),
-                rec.corrected_pose,
-            )
+            with self.timer.stage("front_match"):
+                res = self._match(
+                    self.front_matcher, rec, list(self.running),
+                    rec.corrected_pose,
+                )
             rec.corrected_pose = np.asarray(res.pose, np.float64)
             cov = np.asarray(res.covariance, np.float64)
 
@@ -585,12 +599,14 @@ class KartoSLAM:
         self.scans.append(rec)
         self.solver.add_node(rec.state_id, rec.corrected_pose)
         if self.cfg.karto.use_scan_matching:
-            self._add_edges(rec, cov)
+            with self.timer.stage("add_edges"):
+                self._add_edges(rec, cov)
             # AddEdges may refine the pose via the weighted mean (:968-971)
             self.solver.set_node_pose(rec.state_id, rec.corrected_pose)
         self._add_running(rec.state_id)
         if self.cfg.karto.do_loop_closing and self.cfg.karto.use_scan_matching:
-            self._try_close_loop(rec)
+            with self.timer.stage("try_close_loop"):
+                self._try_close_loop(rec)
         self._last_scan_id = rec.state_id
         return True
 

@@ -619,16 +619,22 @@ class CorrelativeMatcher:
         return self._full_cache[key]
 
     def _full_chains(
-        self, n_chains: int, angle_offset: float, do_penalize: bool,
-        do_fine: bool,
+        self, n_chains: int, n_scans: int, n_beams: int, angle_offset: float,
+        do_penalize: bool, do_fine: bool,
     ):
         """Batched variant: ONE device program matching the same scan against
         ``n_chains`` independent base-scan sets (the near-chain / loop-chain
         fan-out of MapperGraph::AddEdges and TryCloseLoop, Mapper.cpp:902-1051
         — the reference runs these MatchScan calls sequentially). The
         base-scan world transform and FindValidPoints view filter are fused
-        in, so a whole chain group costs one dispatch + one host sync."""
-        key = ("chains", n_chains, angle_offset, do_penalize, do_fine)
+        in, so a whole chain group costs one dispatch + one host sync.
+
+        Transfer protocol: over a remote device link EVERY host↔device array
+        is a round trip, so the program takes ONE packed f32 buffer
+        (poses | base pts | base valid | scan pts | beam valid | pose) and
+        returns ONE (C, 13) result tensor (pose(3) | response(1) | cov(9))."""
+        C, S, N = n_chains, n_scans, n_beams
+        key = ("chains", C, S, N, angle_offset, do_penalize, do_fine)
         if key not in self._full_cache:
             # the angle-group memory budget is shared across vmapped lanes
             budget = max(2_000_000, 64_000_000 // n_chains)
@@ -641,14 +647,48 @@ class CorrelativeMatcher:
                 keep = jax.vmap(find_valid_points, in_axes=(0, 0, None))(
                     wp, base_valid, pose[:2]
                 )
-                return core(
+                r = core(
                     wp.reshape(-1, 2), keep.reshape(-1), pts, bvalid, pose
                 )
+                return jnp.concatenate(
+                    [r.pose, r.response[None], r.covariance.reshape(9)]
+                )
 
-            self._full_cache[key] = jax.jit(
-                jax.vmap(one, in_axes=(0, 0, 0, None, None, None))
-            )
+            def packed(buf):
+                o = 0
+                poses = buf[o : o + C * S * 3].reshape(C, S, 3)
+                o += C * S * 3
+                bpts = buf[o : o + C * S * N * 2].reshape(C, S, N, 2)
+                o += C * S * N * 2
+                bvalid = buf[o : o + C * S * N].reshape(C, S, N) > 0.5
+                o += C * S * N
+                spts = buf[o : o + N * 2].reshape(N, 2)
+                o += N * 2
+                svalid = buf[o : o + N] > 0.5
+                o += N
+                spose = buf[o : o + 3]
+                return jax.vmap(one, in_axes=(0, 0, 0, None, None, None))(
+                    poses, bpts, bvalid, spts, svalid, spose
+                )
+
+            self._full_cache[key] = jax.jit(packed)
         return self._full_cache[key]
+
+    @staticmethod
+    def _pack_chain_buf(
+        base_poses, base_pts_laser, base_valid, scan_pts_laser, beam_valid,
+        scan_pose,
+    ) -> np.ndarray:
+        return np.concatenate(
+            [
+                np.asarray(base_poses, np.float32).ravel(),
+                np.asarray(base_pts_laser, np.float32).ravel(),
+                np.asarray(base_valid, np.float32).ravel(),
+                np.asarray(scan_pts_laser, np.float32).ravel(),
+                np.asarray(beam_valid, np.float32).ravel(),
+                np.asarray(scan_pose, np.float32).ravel(),
+            ]
+        )
 
     def match(
         self,
@@ -701,36 +741,41 @@ class CorrelativeMatcher:
         Returns a MatchResult of host numpy arrays with leading C axis.
         """
         p = self.p
-        C = int(base_poses.shape[0])
-        res = self._full_chains(C, p.angle_offset, do_penalize, do_fine)(
-            jnp.asarray(base_poses), jnp.asarray(base_pts_laser),
-            jnp.asarray(base_valid), jnp.asarray(scan_pts_laser),
-            jnp.asarray(beam_valid), jnp.asarray(scan_pose),
+        C, S, N = (int(d) for d in np.shape(base_valid))
+        buf = self._pack_chain_buf(
+            base_poses, base_pts_laser, base_valid, scan_pts_laser,
+            beam_valid, scan_pose,
         )
-        poses = np.asarray(res.pose)
-        resps = np.asarray(res.response)
-        covs = np.asarray(res.covariance)
+        out = np.asarray(
+            self._full_chains(C, S, N, p.angle_offset, do_penalize, do_fine)(
+                buf
+            )
+        )  # (C, 13): ONE device→host fetch
+        poses = out[:, :3].astype(np.float64)
+        resps = out[:, 3].copy()
+        covs = out[:, 4:].reshape(C, 3, 3).astype(np.float64)
         if self.use_response_expansion:
             lanes = np.ones(C, bool) if lane_valid is None else np.asarray(
                 lane_valid, bool
             )
             for k in np.nonzero(lanes & (resps < KT_TOLERANCE))[0]:
+                buf1 = self._pack_chain_buf(
+                    base_poses[k : k + 1], base_pts_laser[k : k + 1],
+                    base_valid[k : k + 1], scan_pts_laser, beam_valid,
+                    scan_pose,
+                )
                 angle_offset = p.angle_offset
                 for _ in range(3):  # rare path: widen per failing lane
                     angle_offset += math.radians(20.0)
-                    r1 = self._full_chains(
-                        1, round(angle_offset, 6), do_penalize, do_fine
-                    )(
-                        jnp.asarray(base_poses[k : k + 1]),
-                        jnp.asarray(base_pts_laser[k : k + 1]),
-                        jnp.asarray(base_valid[k : k + 1]),
-                        jnp.asarray(scan_pts_laser),
-                        jnp.asarray(beam_valid),
-                        jnp.asarray(scan_pose),
-                    )
-                    if float(r1.response[0]) >= KT_TOLERANCE:
+                    o1 = np.asarray(
+                        self._full_chains(
+                            1, S, N, round(angle_offset, 6), do_penalize,
+                            do_fine,
+                        )(buf1)
+                    )[0]
+                    if o1[3] >= KT_TOLERANCE:
                         break
-                poses[k] = np.asarray(r1.pose[0])
-                resps[k] = float(r1.response[0])
-                covs[k] = np.asarray(r1.covariance[0])
+                poses[k] = o1[:3]
+                resps[k] = o1[3]
+                covs[k] = o1[4:].reshape(3, 3)
         return MatchResult(poses, resps, covs)
