@@ -28,6 +28,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--parts", action="store_true",
+        help="also time grid build / coarse correlate separately",
+    )
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -96,8 +100,40 @@ def main():
         ),
     }
 
+    def time_part(name, fn, *a):
+        r = fn(*a)
+        _ = np.asarray(jax.tree_util.tree_leaves(r)[0])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            r = fn(*a)
+        _ = np.asarray(jax.tree_util.tree_leaves(r)[0])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"  {name}: {dt * 1e3:.2f} ms", file=sys.stderr)
+        return dt
+
     for name, (params, kw) in configs.items():
         m = CorrelativeMatcher(params, use_response_expansion=False)
+        if args.parts:
+            from tpu_slam.ops.correlative import (
+                build_correlation_grid, correlate_scan,
+            )
+
+            p = params
+            n_ang = int(round(p.angle_offset * 2.0 / p.angle_res)) + 1
+            gb = jax.jit(
+                lambda c, pts, v: build_correlation_grid(p, c, pts, v)
+            )
+            grid = gb(scan_pose[:2], base_pts, base_valid)
+            corr = jax.jit(
+                lambda g, sp: correlate_scan(
+                    g, p, sp[:2], sp, scan_pts, beam_valid,
+                    m.coarse_x, m.coarse_y, n_ang, p.angle_offset,
+                    p.angle_res, do_penalize=kw["do_penalize"],
+                )
+            )
+            print(f"{name} parts:", file=sys.stderr)
+            time_part("grid_build", gb, scan_pose[:2], base_pts, base_valid)
+            time_part("coarse_correlate", corr, grid, scan_pose)
         r = m.match(
             base_pts, base_valid, scan_pts, beam_valid, scan_pose, **kw
         )

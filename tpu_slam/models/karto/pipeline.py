@@ -148,9 +148,13 @@ class KartoSLAM:
 
     # --- scan bookkeeping ---------------------------------------------------
     def _make_record(self, scan: Scan, odom_pose: np.ndarray) -> ScanRecord:
-        pts = np.asarray(scan.points())
-        valid = np.asarray(scan.valid) & np.isfinite(pts).all(-1)
+        # polar->Cartesian on the HOST: the record is host state, and doing
+        # this as a device op would cost fetch round-trips per scan (including
+        # the ones HasMovedEnough rejects)
         r = np.asarray(scan.ranges)
+        a = np.asarray(scan.angles)
+        pts = np.stack([r * np.cos(a), r * np.sin(a)], axis=-1)
+        valid = np.asarray(scan.valid) & np.isfinite(pts).all(-1)
         valid &= r <= self.cfg.scan.range_threshold
         pts = np.where(valid[:, None], pts, 0.0)
         bary = pts[valid].mean(axis=0) if valid.any() else np.zeros(2)
@@ -279,19 +283,40 @@ class KartoSLAM:
         if best is not None and best_d < k.link_scan_maximum_distance**2 + 1e-6:
             self._link(best, j, mean_pose_j, cov)
 
-    def _near_linked_scans(self, sid: int, max_dist: float) -> list[int]:
+    def _all_ref_positions(self) -> np.ndarray:
+        """Reference positions of every scan, vectorized (GetReferencePose,
+        Karto.h:5280-5299). Valid until the next pose mutation; callers
+        recompute per gather round, so loop-candidate scans and BFS gates
+        are O(n) numpy instead of per-scan python math."""
+        if not self.scans:
+            return np.zeros((0, 2))
+        poses = np.stack([r.corrected_pose for r in self.scans])
+        if not self.cfg.karto.use_scan_barycenter:
+            return poses[:, :2]
+        bary = np.stack([r.bary_local for r in self.scans])
+        c, s = np.cos(poses[:, 2]), np.sin(poses[:, 2])
+        return poses[:, :2] + np.stack(
+            [c * bary[:, 0] - s * bary[:, 1],
+             s * bary[:, 0] + c * bary[:, 1]], axis=-1
+        )
+
+    def _near_linked_scans(
+        self, sid: int, max_dist: float, refs: np.ndarray | None = None
+    ) -> list[int]:
         """FindNearLinkedScans (Mapper.cpp:1278-1286): BFS over graph edges,
         expanding only through vertices within max_dist of the scan's
         reference pose (NearScanVisitor, Mapper.h:619-648)."""
-        k = self.cfg.karto
-        ref = self.scans[sid].reference_position(k.use_scan_barycenter)
+        if refs is None:
+            refs = self._all_ref_positions()
+        near = (
+            np.sum((refs - refs[sid]) ** 2, axis=-1) < max_dist**2 + 1e-6
+        )
         seen = {sid}
         out = []
         q = deque([sid])
         while q:
             v = q.popleft()
-            pos = self.scans[v].reference_position(k.use_scan_barycenter)
-            if np.sum((pos - ref) ** 2) < max_dist**2 + 1e-6:
+            if near[v]:
                 out.append(v)
                 for w in self.adjacency.get(v, ()):  # expand accepted only
                     if w not in seen:
@@ -302,11 +327,16 @@ class KartoSLAM:
     def _find_near_chains(self, sid: int) -> list[list[int]]:
         """FindNearChains (Mapper.cpp:1170-1275)."""
         k = self.cfg.karto
-        ref = self.scans[sid].reference_position(k.use_scan_barycenter)
-        max_d2 = k.link_scan_maximum_distance**2 + 1e-6
+        refs = self._all_ref_positions()
+        in_range = (
+            np.sum((refs - refs[sid]) ** 2, axis=-1)
+            < k.link_scan_maximum_distance**2 + 1e-6
+        )
         processed = set()
         chains = []
-        for near in self._near_linked_scans(sid, k.link_scan_maximum_distance):
+        for near in self._near_linked_scans(
+            sid, k.link_scan_maximum_distance, refs
+        ):
             if near == sid or near in processed:
                 continue
             processed.add(near)
@@ -315,8 +345,7 @@ class KartoSLAM:
             for cand in range(near - 1, -1, -1):  # scans before
                 if cand == sid:
                     valid_chain = False
-                pos = self.scans[cand].reference_position(k.use_scan_barycenter)
-                if np.sum((pos - ref) ** 2) < max_d2:
+                if in_range[cand]:
                     chain.insert(0, cand)
                     processed.add(cand)
                 else:
@@ -325,8 +354,7 @@ class KartoSLAM:
             for cand in range(near + 1, len(self.scans)):  # scans after
                 if cand == sid:
                     valid_chain = False
-                pos = self.scans[cand].reference_position(k.use_scan_barycenter)
-                if np.sum((pos - ref) ** 2) < max_d2:
+                if in_range[cand]:
                     chain.append(cand)
                     processed.add(cand)
                 else:
@@ -408,19 +436,21 @@ class KartoSLAM:
         """FindPossibleLoopClosure (Mapper.cpp:1333-1394). Returns
         (chain, next_start)."""
         lp = self.cfg.loop
-        k = self.cfg.karto
-        ref = self.scans[sid].reference_position(k.use_scan_barycenter)
+        refs = self._all_ref_positions()
         near_linked = set(
-            self._near_linked_scans(sid, lp.loop_search_maximum_distance)
+            self._near_linked_scans(
+                sid, lp.loop_search_maximum_distance, refs
+            )
+        )
+        in_range = (
+            np.sum((refs - refs[sid]) ** 2, axis=-1)
+            < lp.loop_search_maximum_distance**2 + 1e-6
         )
         chain = []
         n = len(self.scans)
         i = start
         while i < n:
-            cand = self.scans[i]
-            pos = cand.reference_position(k.use_scan_barycenter)
-            d2 = np.sum((pos - ref) ** 2)
-            if d2 < lp.loop_search_maximum_distance**2 + 1e-6:
+            if in_range[i]:
                 if i in near_linked:
                     chain = []
                 else:
@@ -634,6 +664,11 @@ class KartoSLAM:
     def run(self, scans: Scan, odom_poses: np.ndarray) -> np.ndarray:
         """Replay a sequence; returns corrected poses of ACCEPTED scans and
         their indices (SlamKarto laserCallback loop)."""
+        # fetch the whole sequence to host ONCE; per-scan slicing is then
+        # free (device arrays would cost one round trip per field per scan)
+        import jax
+
+        scans = jax.tree_util.tree_map(np.asarray, scans)
         accepted = []
         for t in range(scans.ranges.shape[0]):
             if self.process(index_scan(scans, t), odom_poses[t]):
