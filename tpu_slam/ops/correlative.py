@@ -287,6 +287,14 @@ def _responses_sliced(
     return jax.lax.map(per_angle, angles, batch_size=bs)
 
 
+def default_pallas_mode() -> str | None:
+    """Auto-select the Pallas response kernel on real TPUs."""
+    try:
+        return "tpu" if jax.devices()[0].platform == "tpu" else None
+    except Exception:
+        return None
+
+
 def correlate_scan(
     grid: jax.Array,
     params: CorrelativeParams,
@@ -302,6 +310,7 @@ def correlate_scan(
     do_penalize: bool,
     params_pen: CorrelativeParams | None = None,
     element_budget: int | None = None,
+    pallas_mode: str | None = None,
 ) -> CorrelateResult:
     """One CorrelateScan pass (Mapper.cpp:309-523).
 
@@ -333,10 +342,20 @@ def correlate_scan(
         rel0 = (search_center[:2] + jnp.stack([xo[0], yo[0]])
                 - grid_center_xy) / p.resolution
         cand0 = jnp.round(rel0).astype(jnp.int32) + p.center_cell  # [x, y]
-        nums = _responses_sliced(
-            grid, pts_cells, beam_valid, angles, cand0, nX, nY, stride,
-            element_budget=element_budget or 64_000_000,
-        )  # (nA, nY*nX) int32
+        if pallas_mode is not None:
+            from tpu_slam.ops.pallas.correlative_response import (
+                responses_sliced_pallas,
+            )
+
+            nums = responses_sliced_pallas(
+                grid, pts_cells, beam_valid, angles, cand0, nX, nY, stride,
+                interpret=(pallas_mode == "interpret"),
+            )  # (nA, nY*nX) int32
+        else:
+            nums = _responses_sliced(
+                grid, pts_cells, beam_valid, angles, cand0, nX, nY, stride,
+                element_budget=element_budget or 64_000_000,
+            )  # (nA, nY*nX) int32
     else:
         # irregular offsets: per-candidate rounding + random gathers
         cand_xy = jnp.stack(
@@ -529,9 +548,20 @@ class CorrelativeMatcher:
     — the rare-path analogue of the reference's loop.
     """
 
-    def __init__(self, params: CorrelativeParams, use_response_expansion=True):
+    def __init__(
+        self,
+        params: CorrelativeParams,
+        use_response_expansion=True,
+        pallas_responses: str | None = "auto",
+    ):
         self.p = params
         self.use_response_expansion = use_response_expansion
+        # "auto": Pallas response kernel on real TPUs, XLA windows elsewhere;
+        # "interpret": Pallas in interpret mode (CPU parity tests); None: XLA
+        self.pallas_mode = (
+            default_pallas_mode() if pallas_responses == "auto"
+            else pallas_responses
+        )
         p = params
         res = p.resolution
         # coarse: half the cells (2×res step) over the search window
@@ -578,6 +608,7 @@ class CorrelativeMatcher:
                 self.coarse_x, self.coarse_y, n_ang,
                 angle_offset, p.angle_res, do_penalize=do_penalize,
                 element_budget=element_budget,
+                pallas_mode=self.pallas_mode,
             )
             cov = positional_covariance(
                 p, coarse.best_pose, coarse.best_response, scan_pose,
@@ -593,6 +624,7 @@ class CorrelativeMatcher:
                     self.fine_angle_offset, p.fine_angle_offset,
                     do_penalize=True,
                     element_budget=element_budget,
+                    pallas_mode=self.pallas_mode,
                 )
                 cov = angular_covariance(
                     fine.best_pose, fine.best_response, pose,
@@ -667,8 +699,14 @@ class CorrelativeMatcher:
                 svalid = buf[o : o + N] > 0.5
                 o += N
                 spose = buf[o : o + 3]
-                return jax.vmap(one, in_axes=(0, 0, 0, None, None, None))(
-                    poses, bpts, bvalid, spts, svalid, spose
+                # unrolled over lanes (C <= 4): the Pallas response kernel
+                # uses scalar prefetch, which cannot sit under vmap
+                return jnp.stack(
+                    [
+                        one(poses[k], bpts[k], bvalid[k], spts, svalid,
+                            spose)
+                        for k in range(C)
+                    ]
                 )
 
             self._full_cache[key] = jax.jit(packed)
