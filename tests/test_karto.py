@@ -119,3 +119,75 @@ def test_karto_rejects_stationary(loop_setup):
     # same pose again → HasMovedEnough gate rejects
     assert not slam.process(s0, odom[0])
     assert len(slam.scans) == 1
+
+
+def test_karto_minimum_time_interval_accepts_stationary(loop_setup):
+    """MinimumTimeInterval (Mapper.cpp:2095-2099): a stationary scan is
+    accepted once enough time has passed since the last processed scan."""
+    cfg, scans, seq, odom = loop_setup
+    cfg2 = dataclasses.replace(
+        cfg, karto=dataclasses.replace(cfg.karto, minimum_time_interval=5.0)
+    )
+    slam = KartoSLAM(cfg2)
+    from tpu_slam.data.scan import index_scan
+
+    s0 = index_scan(scans, 0)
+
+    def at(t):
+        return dataclasses.replace(s0, stamp=jnp.asarray(float(t)))
+
+    assert slam.process(at(0.0), odom[0])
+    assert not slam.process(at(1.0), odom[0])  # too soon, no travel
+    assert slam.process(at(6.0), odom[0])  # time gate fires
+    assert len(slam.scans) == 2
+
+
+def test_laser_rig_upside_down_detection():
+    """from_mount reproduces the reference's +1 m-point test
+    (karto_slam.cc:359-380)."""
+    from tpu_slam.models.karto.pipeline import LaserRig
+
+    assert not LaserRig.from_mount(0.2, 0.0, 0.1, 0.0, 0.0, 0.5).inverted
+    assert LaserRig.from_mount(0.2, 0.0, 0.1, math.pi, 0.0, 0.5).inverted
+    assert LaserRig.from_mount(0.0, 0.0, 0.0, 0.0, math.pi, 0.0).inverted
+    rig = LaserRig.from_mount(0.2, -0.1, 0.1, 0.0, 0.0, 0.5)
+    assert rig.offset == (0.2, -0.1, 0.5)
+    assert LaserRig().is_identity and not rig.is_identity
+
+
+def test_karto_laser_rig_offset_equivariance(loop_setup):
+    """Feeding BASE odometry with a registered laser offset (and an
+    upside-down laser whose readings arrive reversed) must reproduce the
+    identity-rig trajectory expressed in the base frame."""
+    from tpu_slam.models.karto.pipeline import LaserRig
+
+    import jax
+
+    cfg, scans, seq, odom = loop_setup
+    n = 60  # prefix is enough; keep CPU time bounded
+    sub = jax.tree_util.tree_map(lambda a: a[:n], scans)
+    plain = KartoSLAM(cfg)
+    plain.run(sub, odom[:n])
+    ref_traj = plain.trajectory()
+
+    off = np.array([0.2, -0.1, 0.3])
+    rig = LaserRig(offset=tuple(off), inverted=True)
+    inv_off = np.asarray(geo.inverse(jnp.asarray(off)), np.float64)
+    base_odom = np.asarray(
+        [geo.compose(jnp.asarray(p), jnp.asarray(inv_off)) for p in odom[:n]]
+    )
+    # an upside-down laser reports its readings in reverse beam order
+    sub_inv = dataclasses.replace(
+        sub,
+        ranges=jnp.asarray(np.asarray(sub.ranges)[:, ::-1]),
+        valid=jnp.asarray(np.asarray(sub.valid)[:, ::-1]),
+    )
+    rigged = KartoSLAM(cfg, laser=rig)
+    rigged.run(sub_inv, base_odom)
+    got = rigged.trajectory()  # base poses
+
+    want = np.asarray(
+        [geo.compose(jnp.asarray(p), jnp.asarray(inv_off)) for p in ref_traj]
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-2)

@@ -195,6 +195,9 @@ class KartoFrontEndConfig:
 
     minimum_travel_distance: float = 0.2  # HasMovedEnough (Mapper.cpp:2087-2120)
     minimum_travel_heading: float = math.radians(10.0)
+    # accept a scan regardless of travel once this much time has passed
+    # (MinimumTimeInterval, Mapper.cpp:1468-1478; default 3600 s)
+    minimum_time_interval: float = 3600.0
     scan_buffer_size: int = 70  # running scans cap (Mapper.h:1365-1386)
     scan_buffer_maximum_scan_distance: float = 20.0
     link_match_minimum_response_fine: float = 0.8

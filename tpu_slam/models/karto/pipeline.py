@@ -41,6 +41,46 @@ from tpu_slam.utils.events import EventBus
 from tpu_slam.utils.profiling import StageTimer
 
 
+@dataclasses.dataclass(frozen=True)
+class LaserRig:
+    """Laser device registration (SlamKarto::getLaser, karto_slam.cc:327-405
+    + LaserRangeFinder::SetOffsetPose, Karto.h:3709).
+
+    ``offset`` is the laser's SE(2) pose relative to the robot base; the
+    mapper tracks BASE poses at its API boundary and sensor poses internally
+    (GetSensorAt = base ∘ offset). ``inverted`` reproduces the upside-down
+    mount handling: readings are reversed before processing
+    (karto_slam.cc:417-425)."""
+
+    offset: tuple = (0.0, 0.0, 0.0)  # (x, y, yaw) laser wrt base
+    inverted: bool = False
+
+    @staticmethod
+    def from_mount(
+        x: float, y: float, z: float,
+        roll: float, pitch: float, yaw: float,
+    ) -> "LaserRig":
+        """Detect an upside-down mount from the full 3D laser pose, exactly
+        as the reference: a point 1 m above the base, transformed into the
+        laser frame, has z ≤ 0 iff the laser is inverted
+        (karto_slam.cc:359-380)."""
+        cr, sr = math.cos(roll), math.sin(roll)
+        cp, sp = math.cos(pitch), math.sin(pitch)
+        cy, sy = math.cos(yaw), math.sin(yaw)
+        # up point in laser frame: R(yaw,pitch,roll)ᵀ · (-x, -y, 1); its z
+        # uses the third COLUMN of R (ZYX convention)
+        up_z = (
+            (cy * sp * cr + sy * sr) * (-x)
+            + (sy * sp * cr - cy * sr) * (-y)
+            + cp * cr
+        )
+        return LaserRig(offset=(x, y, yaw), inverted=up_z <= 0.0)
+
+    @property
+    def is_identity(self) -> bool:
+        return not self.inverted and all(v == 0.0 for v in self.offset)
+
+
 @dataclasses.dataclass
 class ScanRecord:
     """LocalizedRangeScan analogue (Karto.h:5171-5470): laser-frame points
@@ -52,6 +92,7 @@ class ScanRecord:
     bary_local: np.ndarray  # (2,) mean of valid laser points
     odom_pose: np.ndarray  # (3,)
     corrected_pose: np.ndarray  # (3,) sensor pose (updated by matching/solver)
+    time: float = 0.0  # scan timestamp, seconds (GetTime)
 
     def reference_position(self, use_barycenter: bool) -> np.ndarray:
         """GetReferencePose (Karto.h:5280-5299)."""
@@ -98,8 +139,13 @@ def _np_inv(a):
 
 
 class KartoSLAM:
-    def __init__(self, cfg: SLAMConfig):
+    def __init__(self, cfg: SLAMConfig, laser: LaserRig | None = None):
         self.cfg = cfg
+        # laser device registration: offset pose + upside-down handling
+        # (SlamKarto::getLaser). API-boundary poses are BASE poses when a
+        # rig with an offset is registered; internal poses stay sensor poses.
+        self.laser = laser or LaserRig()
+        self._offset = np.asarray(self.laser.offset, np.float64)
         c = cfg.correlative
         rng_th = cfg.scan.range_threshold
         self.front_matcher = CorrelativeMatcher(
@@ -153,18 +199,29 @@ class KartoSLAM:
         # the ones HasMovedEnough rejects)
         r = np.asarray(scan.ranges)
         a = np.asarray(scan.angles)
+        rv = np.asarray(scan.valid)
+        if self.laser.inverted:
+            # upside-down mount: readings reversed (karto_slam.cc:417-425)
+            r = r[::-1]
+            rv = rv[::-1]
         pts = np.stack([r * np.cos(a), r * np.sin(a)], axis=-1)
-        valid = np.asarray(scan.valid) & np.isfinite(pts).all(-1)
+        valid = rv & np.isfinite(pts).all(-1)
         valid &= r <= self.cfg.scan.range_threshold
         pts = np.where(valid[:, None], pts, 0.0)
         bary = pts[valid].mean(axis=0) if valid.any() else np.zeros(2)
+        # odom_pose arrives as a BASE pose; internal poses are sensor poses
+        # (GetSensorAt = base ∘ offset, Karto.h:5331-5345)
+        sensor_odom = np.asarray(odom_pose, np.float64)
+        if not self.laser.is_identity:
+            sensor_odom = _np_compose(sensor_odom, self._offset)
         return ScanRecord(
             state_id=len(self.scans),
             pts_laser=pts.astype(np.float32),
             beam_valid=valid,
             bary_local=bary,
-            odom_pose=np.asarray(odom_pose, np.float64),
-            corrected_pose=np.asarray(odom_pose, np.float64).copy(),
+            odom_pose=sensor_odom,
+            corrected_pose=sensor_odom.copy(),
+            time=float(np.asarray(scan.stamp)),
         )
 
     def _has_moved_enough(self, rec: ScanRecord) -> bool:
@@ -173,6 +230,9 @@ class KartoSLAM:
             return True
         last = self.scans[self._last_scan_id]
         k = self.cfg.karto
+        # enough time passed (MinimumTimeInterval gate, Mapper.cpp:2095-2099)
+        if rec.time - last.time >= k.minimum_time_interval:
+            return True
         d = rec.odom_pose[:2] - last.odom_pose[:2]
         dth = abs(
             math.atan2(
@@ -561,7 +621,6 @@ class KartoSLAM:
         """Gates + fine match + correction of one candidate chain
         (TryCloseLoop body, Mapper.cpp:984-1045)."""
         lp = self.cfg.loop
-        k = self.cfg.karto
         sid = rec.state_id
         cov = np.asarray(coarse.covariance)
         self.events.loop_closure_check(
@@ -579,7 +638,9 @@ class KartoSLAM:
             self.front_matcher, rec, chain,
             np.asarray(coarse.pose, np.float64), do_penalize=False,
         )
-        if float(fine.response) < k.link_match_minimum_response_fine:
+        # LoopMatchMinimumResponseFine gate (Mapper.cpp:1023) — distinct
+        # from the link-match fine gate
+        if float(fine.response) < lp.loop_match_minimum_response_fine:
             return False
         self.events.begin_loop_closure(
             f"closing loop: scan {sid}, fine response "
@@ -658,8 +719,14 @@ class KartoSLAM:
         return _np_compose(rec.corrected_pose, inv)
 
     def trajectory(self) -> np.ndarray:
+        """Corrected BASE poses (sensor poses with the rig offset removed;
+        map→odom is offset-invariant, so only this boundary converts)."""
         self.flush()
-        return np.asarray([r.corrected_pose for r in self.scans])
+        out = np.asarray([r.corrected_pose for r in self.scans])
+        if not self.laser.is_identity and len(out):
+            inv_off = _np_inv(self._offset)
+            out = np.asarray([_np_compose(p, inv_off) for p in out])
+        return out
 
     def run(self, scans: Scan, odom_poses: np.ndarray) -> np.ndarray:
         """Replay a sequence; returns corrected poses of ACCEPTED scans and
