@@ -7,9 +7,11 @@ keeps each scan pair entirely in VMEM across ALL rounds and eliminates
 every gather and sort:
 
   * correspondences: the (N, M) distance tile lives in VMEM; "gather
-    tgt[j1]" becomes a one-hot masked lane-reduction (VPU), so the nearest
-    point, its two beam neighbors (passed as pre-shifted target arrays),
-    and their validities all come from the same tile with zero HBM traffic;
+    tgt[j1]" becomes a TRANSPOSED one-hot (sublane iota == argmin) fed to
+    ONE (9, M) @ (M, C) MXU matmul per pair, fetching the nearest point,
+    its two beam neighbors (pre-shifted target arrays), and their
+    validities at once — bit-exact (each one-hot column selects a single
+    f32 value) and off the VPU, which the distance tile keeps saturated;
   * CSM outlier trimming: the two masked quantiles (outliers_maxPerc /
     adaptive_order, plicp_odometry.cc:139-156) are found by a fixed-depth
     binary search over the residual value range (vectorized counts) instead
@@ -44,11 +46,6 @@ def _norm_angle(th):
     """Branchless wrap to (−π, π] — Mosaic has no atan2."""
     two_pi = 6.283185307179586
     return th - two_pi * jnp.floor((th + 3.141592653589793) / two_pi)
-
-
-def _row_gather(onehot, row):
-    """Σ_m onehot[p,n,m]·row[p,1,m] → (P,N): a gather as a lane reduction."""
-    return jnp.sum(onehot * row, axis=2)
 
 
 def _masked_quantile_search(err, gate_f, q):
@@ -104,7 +101,7 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
         nxr, nyr, nvr,                   # (P, M) tgt shifted −1 (next beam)
         init_ref,                        # (P, 3)
         pose_ref, stats_ref, H_ref,      # out: (P,3), (P,4), (P,9)
-        wx_s, wy_s, dmin_s, gath_s,      # scratch: (P,N)×3, (P,9,N)
+        wx_s, wy_s, dmin_s, gath_s, rows_s,  # (P,N)×3, (P,9,N), (P,9,M)
     ):
         sx = sx_ref[...]
         sy = sy_ref[...]
@@ -115,11 +112,18 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
         P = sx.shape[0]
         C = chunk
         cols = jax.lax.broadcasted_iota(jnp.int32, (P, C, m), 2)
-        rows = (
-            tx, ty, tv,
-            pxr[...][:, None, :], pyr[...][:, None, :], pvr[...][:, None, :],
-            nxr[...][:, None, :], nyr[...][:, None, :], nvr[...][:, None, :],
-        )
+        # the 9 gather sources stacked on sublanes, (P, 9, M): one MXU
+        # matmul per pair gathers all of them at once (see corr_chunk)
+        rows_s[:, 0, :] = tx_ref[...]
+        rows_s[:, 1, :] = ty_ref[...]
+        rows_s[:, 2, :] = tv_ref[...]
+        rows_s[:, 3, :] = pxr[...]
+        rows_s[:, 4, :] = pyr[...]
+        rows_s[:, 5, :] = pvr[...]
+        rows_s[:, 6, :] = nxr[...]
+        rows_s[:, 7, :] = nyr[...]
+        rows_s[:, 8, :] = nvr[...]
+        miota = jax.lax.broadcasted_iota(jnp.int32, (m, C), 0)
 
         def round_body(_, carry):
             px, py, pth, _e, _ni, _h = carry
@@ -145,10 +149,20 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
                     jnp.where(d2 <= dminc[:, :, None], cols, jnp.int32(m)),
                     axis=2,
                 )
-                onehot = (cols == idx[:, :, None]).astype(sx.dtype)
                 dmin_s[:, pl.ds(off, C)] = dminc
-                for gi, row in enumerate(rows):
-                    gath_s[:, gi, pl.ds(off, C)] = _row_gather(onehot, row)
+                # all 9 gathers as ONE MXU matmul per pair: the one-hot is
+                # built TRANSPOSED (sublane iota == idx broadcast) so
+                # (9, M) @ (M, C) lands directly in gath_s layout with no
+                # transpose. Each one-hot column selects a single f32 value
+                # (×1.0 + zeros), so the result is bit-exact — this moves
+                # the dominant VPU cost (9 masked lane-reductions per
+                # chunk) onto the otherwise-idle MXU.
+                for p in range(P):
+                    onehotT = (miota == idx[p : p + 1, :]).astype(sx.dtype)
+                    gath_s[p, :, pl.ds(off, C)] = jnp.dot(
+                        rows_s[p], onehotT,
+                        preferred_element_type=sx.dtype,
+                    )
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, corr_chunk, 0)
@@ -366,6 +380,7 @@ def plicp_match_fused(
             pltpu.VMEM((P, N), dtype),
             pltpu.VMEM((P, N), dtype),
             pltpu.VMEM((P, 9, N), dtype),
+            pltpu.VMEM((P, 9, M), dtype),
         ],
         interpret=interpret,
     )(
