@@ -125,8 +125,8 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
         rows_s[:, 8, :] = nvr[...]
         miota = jax.lax.broadcasted_iota(jnp.int32, (m, C), 0)
 
-        def round_body(_, carry):
-            px, py, pth, _e, _ni, _h = carry
+        def round_body(carry):
+            i, px, py, pth, _e, _ni, _h, _conv = carry
             c, s = jnp.cos(pth), jnp.sin(pth)  # (P,1)
             wx_s[...] = c * sx - s * sy + px  # (P,N) world src
             wy_s[...] = s * sx + c * sy + py
@@ -256,15 +256,29 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
             mean_err = jnp.sum(w * err, axis=1, keepdims=True) / wsum
             n_inl = jnp.sum(w, axis=1, keepdims=True)
             h_flat = jnp.concatenate(hs, axis=1)  # (P,6)
-            return px2, py2, pth2, mean_err, n_inl, h_flat
+            # CSM termination (sm_icp epsilon_xy/epsilon_theta): once EVERY
+            # pair's full-round step is under the epsilons, further rounds
+            # are no-ops within tolerance — stop the whole program early.
+            # Padded pairs have no valid beams → zero steps → converged.
+            step_x = jnp.abs(d0 + e0)
+            step_y = jnp.abs(d1 + e1)
+            step_t = jnp.abs(dth + eth)
+            conv = jnp.all(
+                (step_x < cfg.epsilon_xy)
+                & (step_y < cfg.epsilon_xy)
+                & (step_t < cfg.epsilon_theta)
+            )
+            return i + 1, px2, py2, pth2, mean_err, n_inl, h_flat, conv
 
         zero1 = jnp.zeros((P, 1), sx.dtype)
         carry0 = (
+            jnp.int32(0),
             init_ref[:, 0:1], init_ref[:, 1:2], init_ref[:, 2:3],
             zero1, zero1, jnp.zeros((P, 6), sx.dtype),
+            jnp.bool_(False),
         )
-        px, py, pth, err, ninl, hs = jax.lax.fori_loop(
-            0, n_rounds, round_body, carry0
+        _, px, py, pth, err, ninl, hs, _ = jax.lax.while_loop(
+            lambda cr: (cr[0] < n_rounds) & ~cr[-1], round_body, carry0
         )
         pose_ref[:, 0:1] = px
         pose_ref[:, 1:2] = py
