@@ -12,6 +12,14 @@ xla_force_host_platform_device_count); the same code path measures real
 multi-chip meshes when they exist — the sharded program is identical
 (batch axis sharded; XLA partitions with no collectives).
 
+NOTE on virtual-mesh numbers: the N virtual CPU "devices" share ONE host's
+physical cores, so weak-scaling "efficiency" here measures core contention,
+not parallel overhead — the honest signature is TOTAL throughput staying
+flat at the host's capacity as devices double. The real scaling claim is
+structural and asserted in tests/test_parallel.py: the partitioned HLO of
+this program contains ZERO collectives, so on a real slice the per-chip
+rate is independent of N (no ICI traffic to lose efficiency to).
+
     python benchmarks/bench_scaling.py --devices 8
 """
 

@@ -129,6 +129,58 @@ def test_sharded_matcher_matches_unsharded():
     )
 
 
+def test_sharded_matcher_partitions_without_collectives():
+    """The data-parallel matcher must partition into a communication-FREE
+    program (batch axis fully sharded → per-device ICP, no ICI traffic):
+    scaling efficiency on real meshes is then bounded only by per-chip
+    throughput. Asserted on the partitioned HLO, which is what a real
+    multi-chip slice would execute."""
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        scan=dataclasses.replace(cfg.scan, num_beams=90, range_max=6.0),
+        plicp=dataclasses.replace(cfg.plicp, max_iterations=4),
+    )
+    B, N = 16, 90
+    mesh = make_mesh(8)
+    args = tuple(
+        shard_batch(mesh, jnp.asarray(a))
+        for a in (
+            np.zeros((B, N, 2), np.float32), np.ones((B, N), bool),
+            np.zeros((B, N, 2), np.float32), np.ones((B, N), bool),
+            np.zeros((B, 3), np.float32),
+        )
+    )
+    hlo = make_batched_matcher(cfg, mesh).lower(*args).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, f"unexpected collective {coll} in matcher"
+
+
+def test_distributed_lm_uses_one_psum_per_assembly():
+    """The edge-sharded LM delta must reduce its normal equations with
+    all-reduce(s) (the psum) and nothing else — no all-to-all / gather
+    traffic that would not ride ICI efficiently."""
+    mesh = make_mesh(8)
+    M, E = 17, 24
+    ei = np.arange(E, dtype=np.int32) % (M - 1)
+    ej = ei + 1
+    args = (
+        replicated(mesh, jnp.zeros((M, 3), jnp.float32)),
+        shard_batch(mesh, jnp.asarray(ei)),
+        shard_batch(mesh, jnp.asarray(ej)),
+        shard_batch(mesh, jnp.zeros((E, 3), jnp.float32)),
+        shard_batch(mesh, jnp.tile(np.eye(3, dtype=np.float32), (E, 1, 1))),
+        shard_batch(mesh, jnp.ones((E,), bool)),
+        jnp.float32(1e-3),
+        replicated(mesh, jnp.asarray(np.arange(M) > 0)),
+    )
+    fn = make_distributed_lm_delta(mesh, M)
+    hlo = jax.jit(fn).lower(*args).compile().as_text()
+    assert "all-reduce" in hlo, "expected a psum in the distributed LM"
+    assert "all-to-all" not in hlo
+
+
 def test_training_step_runs_on_mesh():
     import __graft_entry__ as ge
 
