@@ -24,6 +24,10 @@ def main():
         "optimizes",
     )
     ap.add_argument("--checkpoint", help="save mapper state here when done")
+    ap.add_argument(
+        "--save-map",
+        help="write <base>.pgm + <base>.yaml (ROS map_server format)",
+    )
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -98,6 +102,11 @@ def main():
     print(
         f"map {m.shape}: {(m == 100).sum()} occ / {(m == 0).sum()} free"
     )
+    if args.save_map:
+        from tpu_slam.utils.map_io import save_map
+
+        paths = save_map(args.save_map, np.asarray(m), gcfg)
+        print(f"map saved: {paths[0]} + {paths[1]}")
     for ev in slam.events.history[-3:]:
         print(f"  event [{ev.kind}] {ev.message}")
     print("stage timing (host wall incl. device sync):")

@@ -228,3 +228,27 @@ def test_karto_map_to_odom():
     np.testing.assert_allclose(
         got, slam.scans[0].corrected_pose, atol=1e-5
     )
+
+
+def test_map_io_roundtrip(tmp_path):
+    """save_map/load_map must round-trip the trinary map and grid metadata
+    in ROS map_server's PGM+YAML format."""
+    from tpu_slam.config import GridConfig
+    from tpu_slam.utils.map_io import load_map, save_map
+
+    rng = np.random.RandomState(3)
+    m = rng.choice(
+        np.array([-1, 0, 100], np.int8), size=(37, 53)
+    ).astype(np.int8)
+    grid = GridConfig(
+        resolution=0.05, size_x=53, size_y=37, origin_x=-1.25, origin_y=2.5
+    )
+    pgm, yml = save_map(str(tmp_path / "map"), m, grid)
+    m2, g2 = load_map(yml)
+    np.testing.assert_array_equal(m2, m)
+    assert g2.resolution == grid.resolution
+    assert (g2.origin_x, g2.origin_y) == (grid.origin_x, grid.origin_y)
+    assert (g2.size_x, g2.size_y) == (53, 37)
+    # the PGM itself is a valid binary P5 with map_saver's palette
+    with open(pgm, "rb") as f:
+        assert f.read(2) == b"P5"
