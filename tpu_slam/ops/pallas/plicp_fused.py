@@ -6,12 +6,17 @@ quantile sort, GN solve} as separate HBM-bound ops — measured ~170 ms per
 keeps each scan pair entirely in VMEM across ALL rounds and eliminates
 every gather and sort:
 
-  * correspondences: the (N, M) distance tile lives in VMEM; "gather
-    tgt[j1]" becomes a TRANSPOSED one-hot (sublane iota == argmin) fed to
-    ONE (9, M) @ (M, C) MXU matmul per pair, fetching the nearest point,
-    its two beam neighbors (pre-shifted target arrays), and their
+  * correspondences: squared distances are expanded as
+    |w|² + |t|² − 2·w·t (exactly like the XLA path's
+    ops/matching.pairwise_sqdist) so the dominant cross term is ONE
+    (2, C)ᵀ(2, M) MXU contraction per pair — and since |w|² is constant
+    per source row, the argmin only scans s = |t|² − 2·w·t, leaving the
+    VPU just one subtract + min + index pass over the (C, M) tile;
+    "gather tgt[j1]" becomes a TRANSPOSED one-hot (sublane iota == argmin)
+    fed to ONE (9, M) @ (M, C) MXU matmul per pair, fetching the nearest
+    point, its two beam neighbors (pre-shifted target arrays), and their
     validities at once — bit-exact (each one-hot column selects a single
-    f32 value) and off the VPU, which the distance tile keeps saturated;
+    f32 value);
   * CSM outlier trimming: the two masked quantiles (outliers_maxPerc /
     adaptive_order, plicp_odometry.cc:139-156) are found by a fixed-depth
     binary search over the residual value range (vectorized counts) instead
@@ -38,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_slam.config import PLICPConfig
 
 BIG = 1e12
-PAIRS_PER_PROGRAM = 8
+PAIRS_PER_PROGRAM = 16  # v5e sweet spot: P=16 beats 8/32 (latency-bound VPU ops amortize over sublanes)
 QUANTILE_ITERS = 22  # binary-search depth: |err| resolved to ~max/4e6
 
 
@@ -101,17 +106,14 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
         nxr, nyr, nvr,                   # (P, M) tgt shifted −1 (next beam)
         init_ref,                        # (P, 3)
         pose_ref, stats_ref, H_ref,      # out: (P,3), (P,4), (P,9)
-        wx_s, wy_s, dmin_s, gath_s, rows_s,  # (P,N)×3, (P,9,N), (P,9,M)
+        wx_s, wy_s, dmin_s, gath_s, rows_s, tn_s,  # (P,N)×3, (P,9,N), (P,9,M), (P,M)
     ):
         sx = sx_ref[...]
         sy = sy_ref[...]
         sv = sv_ref[...]
-        tx = tx_ref[...][:, None, :]  # (P,1,M)
-        ty = ty_ref[...][:, None, :]
-        tv = tv_ref[...][:, None, :]
         P = sx.shape[0]
         C = chunk
-        cols = jax.lax.broadcasted_iota(jnp.int32, (P, C, m), 2)
+        cols2d = jax.lax.broadcasted_iota(jnp.int32, (C, m), 1)
         # the 9 gather sources stacked on sublanes, (P, 9, M): one MXU
         # matmul per pair gathers all of them at once (see corr_chunk)
         rows_s[:, 0, :] = tx_ref[...]
@@ -124,6 +126,14 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
         rows_s[:, 7, :] = nyr[...]
         rows_s[:, 8, :] = nvr[...]
         miota = jax.lax.broadcasted_iota(jnp.int32, (m, C), 0)
+        # target squared norms + validity mask, constant across rounds:
+        # d2 = |w|² + |t|² − 2·w·t — |w|² is constant per source row, so
+        # the argmin over M only needs s = |t|² − 2·w·t (cross term on MXU)
+        tn_s[...] = (
+            tx_ref[...] * tx_ref[...]
+            + ty_ref[...] * ty_ref[...]
+            + (1.0 - tv_ref[...]) * BIG
+        )
 
         def round_body(carry):
             i, px, py, pth, _e, _ni, _h, _conv = carry
@@ -131,34 +141,43 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
             wx_s[...] = c * sx - s * sy + px  # (P,N) world src
             wy_s[...] = s * sx + c * sy + py
 
-            # chunk loop over source beams: only a (P, C, M) distance tile
-            # is live; a real fori_loop (not unrolled) so Mosaic reuses the
+            # chunk loop over source beams: only per-pair (C, M) tiles are
+            # live; a real fori_loop (not unrolled) so Mosaic reuses the
             # tile buffers across chunks. Values round-trip through VMEM
             # scratch because Mosaic only supports dynamic slicing on refs.
+            # For typical scans (N ≤ 512) there is exactly ONE chunk — the
+            # loop disappears and the whole round is straight-line code.
             def corr_chunk(ci, _):
                 off = pl.multiple_of(ci * C, C)
                 wxc = wx_s[:, pl.ds(off, C)]
                 wyc = wy_s[:, pl.ds(off, C)]
-                d2 = (
-                    (wxc[:, :, None] - tx) ** 2
-                    + (wyc[:, :, None] - ty) ** 2
-                    + (1.0 - tv) * BIG
-                )  # (P,C,M)
-                dminc = jnp.min(d2, axis=2)
-                idx = jnp.min(
-                    jnp.where(d2 <= dminc[:, :, None], cols, jnp.int32(m)),
-                    axis=2,
-                )
-                dmin_s[:, pl.ds(off, C)] = dminc
-                # all 9 gathers as ONE MXU matmul per pair: the one-hot is
-                # built TRANSPOSED (sublane iota == idx broadcast) so
-                # (9, M) @ (M, C) lands directly in gath_s layout with no
-                # transpose. Each one-hot column selects a single f32 value
-                # (×1.0 + zeros), so the result is bit-exact — this moves
-                # the dominant VPU cost (9 masked lane-reductions per
-                # chunk) onto the otherwise-idle MXU.
+                wn = wxc * wxc + wyc * wyc  # (P,C)
                 for p in range(P):
-                    onehotT = (miota == idx[p : p + 1, :]).astype(sx.dtype)
+                    # cross term on the MXU: one (2,C)ᵀ(2,M) contraction;
+                    # s ranks identically to d2 per row, dmin = min s + |w|²
+                    A = jnp.concatenate(
+                        [wxc[p : p + 1], wyc[p : p + 1]], axis=0
+                    )  # (2, C)
+                    cross = jax.lax.dot_general(
+                        A, rows_s[p, 0:2, :],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=sx.dtype,
+                    )  # (C, M)
+                    s_ = tn_s[p][None, :] - 2.0 * cross
+                    sminc = jnp.min(s_, axis=1)  # (C,)
+                    idx = jnp.min(
+                        jnp.where(
+                            s_ <= sminc[:, None], cols2d, jnp.int32(m)
+                        ),
+                        axis=1,
+                    )  # (C,)
+                    dmin_s[p, pl.ds(off, C)] = sminc + wn[p]
+                    # all 9 gathers as ONE MXU matmul: the one-hot is built
+                    # TRANSPOSED (sublane iota == argmin broadcast) so
+                    # (9, M) @ (M, C) lands directly in gath_s layout with
+                    # no transpose. Each one-hot column selects a single
+                    # f32 value (×1.0 + zeros), so the gather is bit-exact.
+                    onehotT = (miota == idx[None, :]).astype(sx.dtype)
                     gath_s[p, :, pl.ds(off, C)] = jnp.dot(
                         rows_s[p], onehotT,
                         preferred_element_type=sx.dtype,
@@ -343,7 +362,10 @@ def plicp_match_fused(
         )
         N = N + npad
 
-    P = PAIRS_PER_PROGRAM
+    # small batches (single-pair odometry steps) stay at the minimum f32
+    # sublane tile of 8 to avoid padding work; large batches amortize the
+    # latency-bound (P, N) ops over 16 sublanes (measured +11% on v5e)
+    P = PAIRS_PER_PROGRAM if B >= PAIRS_PER_PROGRAM else 8
     pad = (-B) % P
     if pad:
         z2 = jnp.zeros((pad, N, 2), dtype)
@@ -369,7 +391,12 @@ def plicp_match_fused(
     next_y = shift(tgt_pts[..., 1], -1)
     next_v = shift(tvf, -1).at[:, M - 1].set(0.0)
 
-    kern = _make_kernel(cfg, N, M, chunk=128)
+    # one chunk for typical scan sizes (N ≤ 512 post-padding): measured
+    # 41.9k vs 39.2k scans/s on v5e vs 128-chunking (no loop, fewer
+    # dynamic-slice round-trips); fall back to 128 for very long scans to
+    # bound the live (C, M) tiles.
+    chunk = N if N <= 512 else 128
+    kern = _make_kernel(cfg, N, M, chunk=chunk)
     spec2 = lambda cols: pl.BlockSpec(
         (P, cols), lambda b: (b, 0), memory_space=pltpu.VMEM
     )
@@ -395,6 +422,7 @@ def plicp_match_fused(
             pltpu.VMEM((P, N), dtype),
             pltpu.VMEM((P, 9, N), dtype),
             pltpu.VMEM((P, 9, M), dtype),
+            pltpu.VMEM((P, M), dtype),
         ],
         interpret=interpret,
     )(
