@@ -94,6 +94,110 @@ def _solve3(h00, h01, h02, h11, h12, h22, b0, b1, b2):
     )
 
 
+def _round_tail(
+    cfg, sx, sy, sv, px, py, pth, wx, wy,
+    q1x, q1y, q1v, ax, ay, av, bx, by, bv, dmin, max_d2,
+):
+    """Shared per-round tail of the fused PL-ICP kernels: second-point
+    selection (better adjacent beam), point-to-line residuals, CSM outlier
+    trimming, two frozen-correspondence GN steps, stats and the epsilon
+    convergence flag. Used by both the full-NN kernel below and the banded
+    kernel (ops/pallas/plicp_band.py) so their semantics match exactly.
+
+    Inputs are (P, N) tiles; returns (px2, py2, pth2, mean_err, n_inl,
+    h_flat (P, 6), conv scalar bool).
+    """
+    dtype = sx.dtype
+
+    # second point: better of the two adjacent beams (csm icp_corr)
+    da = (wx - ax) ** 2 + (wy - ay) ** 2 + (1.0 - av) * BIG
+    db = (wx - bx) ** 2 + (wy - by) ** 2 + (1.0 - bv) * BIG
+    use_a = da <= db
+    q2x = jnp.where(use_a, ax, bx)
+    q2y = jnp.where(use_a, ay, by)
+    q2v = jnp.where(use_a, av, bv)
+
+    tgx = q2x - q1x
+    tgy = q2y - q1y
+    tlen = jnp.sqrt(tgx * tgx + tgy * tgy)
+    ok_len = tlen > 1e-9
+    inv_l = 1.0 / jnp.maximum(tlen, 1e-9)
+    nx_ = -tgy * inv_l
+    ny_ = tgx * inv_l
+    resid = nx_ * (wx - q1x) + ny_ * (wy - q1y)
+
+    gate = (
+        sv * q1v * q2v
+        * (dmin < max_d2).astype(dtype)
+        * ok_len.astype(dtype)
+    )
+    err = jnp.abs(resid)
+    thr_perc = _masked_quantile_search(err, gate, cfg.outliers_maxPerc)
+    thr_adap = cfg.outliers_adaptive_mult * _masked_quantile_search(
+        err, gate, cfg.outliers_adaptive_order
+    )
+    thr = jnp.minimum(thr_perc, jnp.maximum(thr_adap, 1e-6))
+    w = gate * (err <= thr + 1e-12).astype(dtype)  # (P,N)
+
+    def gn(px, py, wx, wy):
+        # J = [n_x, n_y, nᵀ·perp(R p)] with rp = world − t
+        rpx = wx - px
+        rpy = wy - py
+        jth = nx_ * (-rpy) + ny_ * rpx
+        r = nx_ * (wx - q1x) + ny_ * (wy - q1y)
+        wn = w
+        h00 = jnp.sum(wn * nx_ * nx_, axis=1, keepdims=True)
+        h01 = jnp.sum(wn * nx_ * ny_, axis=1, keepdims=True)
+        h02 = jnp.sum(wn * nx_ * jth, axis=1, keepdims=True)
+        h11 = jnp.sum(wn * ny_ * ny_, axis=1, keepdims=True)
+        h12 = jnp.sum(wn * ny_ * jth, axis=1, keepdims=True)
+        h22 = jnp.sum(wn * jth * jth, axis=1, keepdims=True)
+        b0 = -jnp.sum(wn * nx_ * r, axis=1, keepdims=True)
+        b1 = -jnp.sum(wn * ny_ * r, axis=1, keepdims=True)
+        b2 = -jnp.sum(wn * jth * r, axis=1, keepdims=True)
+        d0, d1, d2_ = _solve3(
+            h00 + 1e-9, h01, h02, h11 + 1e-9, h12, h22 + 1e-9,
+            b0, b1, b2,
+        )
+        nok = (jnp.sum(wn, axis=1, keepdims=True) >= 3.0).astype(dtype)
+        fin = (
+            jnp.isfinite(d0) & jnp.isfinite(d1) & jnp.isfinite(d2_)
+        ).astype(dtype)
+        g = nok * fin
+        return d0 * g, d1 * g, d2_ * g, (
+            h00, h01, h02, h11, h12, h22
+        )
+
+    # two inner GN steps with frozen correspondences (ops/plicp.py)
+    d0, d1, dth = gn(px, py, wx, wy)[:3]
+    px1, py1 = px + d0, py + d1
+    pth1 = _norm_angle(pth + dth)
+    c1, s1 = jnp.cos(pth1), jnp.sin(pth1)
+    wx1 = c1 * sx - s1 * sy + px1
+    wy1 = s1 * sx + c1 * sy + py1
+    e0, e1, eth, hs = gn(px1, py1, wx1, wy1)
+    px2, py2 = px1 + e0, py1 + e1
+    pth2 = _norm_angle(pth1 + eth)
+
+    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+    mean_err = jnp.sum(w * err, axis=1, keepdims=True) / wsum
+    n_inl = jnp.sum(w, axis=1, keepdims=True)
+    h_flat = jnp.concatenate(hs, axis=1)  # (P,6)
+    # CSM termination (sm_icp epsilon_xy/epsilon_theta): once EVERY
+    # pair's full-round step is under the epsilons, further rounds
+    # are no-ops within tolerance — stop the whole program early.
+    # Padded pairs have no valid beams → zero steps → converged.
+    step_x = jnp.abs(d0 + e0)
+    step_y = jnp.abs(d1 + e1)
+    step_t = jnp.abs(dth + eth)
+    conv = jnp.all(
+        (step_x < cfg.epsilon_xy)
+        & (step_y < cfg.epsilon_xy)
+        & (step_t < cfg.epsilon_theta)
+    )
+    return px2, py2, pth2, mean_err, n_inl, h_flat, conv
+
+
 def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
     max_d2 = cfg.max_correspondence_dist**2
     n_rounds = cfg.max_iterations
@@ -199,93 +303,9 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
             by = gath_s[:, 7, :]
             bv = gath_s[:, 8, :]
 
-            # second point: better of the two adjacent beams (csm icp_corr)
-            da = (wx - ax) ** 2 + (wy - ay) ** 2 + (1.0 - av) * BIG
-            db = (wx - bx) ** 2 + (wy - by) ** 2 + (1.0 - bv) * BIG
-            use_a = da <= db
-            q2x = jnp.where(use_a, ax, bx)
-            q2y = jnp.where(use_a, ay, by)
-            q2v = jnp.where(use_a, av, bv)
-
-            tgx = q2x - q1x
-            tgy = q2y - q1y
-            tlen = jnp.sqrt(tgx * tgx + tgy * tgy)
-            ok_len = tlen > 1e-9
-            inv_l = 1.0 / jnp.maximum(tlen, 1e-9)
-            nx_ = -tgy * inv_l
-            ny_ = tgx * inv_l
-            resid = nx_ * (wx - q1x) + ny_ * (wy - q1y)
-
-            gate = (
-                sv * q1v * q2v
-                * (dmin < max_d2).astype(sx.dtype)
-                * ok_len.astype(sx.dtype)
-            )
-            err = jnp.abs(resid)
-            thr_perc = _masked_quantile_search(err, gate, cfg.outliers_maxPerc)
-            thr_adap = cfg.outliers_adaptive_mult * _masked_quantile_search(
-                err, gate, cfg.outliers_adaptive_order
-            )
-            thr = jnp.minimum(thr_perc, jnp.maximum(thr_adap, 1e-6))
-            w = gate * (err <= thr + 1e-12).astype(sx.dtype)  # (P,N)
-
-            def gn(px, py, pth, c, s, wx, wy):
-                # J = [n_x, n_y, nᵀ·perp(R p)] with rp = world − t
-                rpx = wx - px
-                rpy = wy - py
-                jth = nx_ * (-rpy) + ny_ * rpx
-                r = nx_ * (wx - q1x) + ny_ * (wy - q1y)
-                wn = w
-                h00 = jnp.sum(wn * nx_ * nx_, axis=1, keepdims=True)
-                h01 = jnp.sum(wn * nx_ * ny_, axis=1, keepdims=True)
-                h02 = jnp.sum(wn * nx_ * jth, axis=1, keepdims=True)
-                h11 = jnp.sum(wn * ny_ * ny_, axis=1, keepdims=True)
-                h12 = jnp.sum(wn * ny_ * jth, axis=1, keepdims=True)
-                h22 = jnp.sum(wn * jth * jth, axis=1, keepdims=True)
-                b0 = -jnp.sum(wn * nx_ * r, axis=1, keepdims=True)
-                b1 = -jnp.sum(wn * ny_ * r, axis=1, keepdims=True)
-                b2 = -jnp.sum(wn * jth * r, axis=1, keepdims=True)
-                d0, d1, d2_ = _solve3(
-                    h00 + 1e-9, h01, h02, h11 + 1e-9, h12, h22 + 1e-9,
-                    b0, b1, b2,
-                )
-                nok = (jnp.sum(wn, axis=1, keepdims=True) >= 3.0).astype(
-                    sx.dtype
-                )
-                fin = (
-                    jnp.isfinite(d0) & jnp.isfinite(d1) & jnp.isfinite(d2_)
-                ).astype(sx.dtype)
-                g = nok * fin
-                return d0 * g, d1 * g, d2_ * g, (
-                    h00, h01, h02, h11, h12, h22
-                )
-
-            # two inner GN steps with frozen correspondences (ops/plicp.py)
-            d0, d1, dth, _hs = gn(px, py, pth, c, s, wx, wy)
-            px1, py1 = px + d0, py + d1
-            pth1 = _norm_angle(pth + dth)
-            c1, s1 = jnp.cos(pth1), jnp.sin(pth1)
-            wx1 = c1 * sx - s1 * sy + px1
-            wy1 = s1 * sx + c1 * sy + py1
-            e0, e1, eth, hs = gn(px1, py1, pth1, c1, s1, wx1, wy1)
-            px2, py2 = px1 + e0, py1 + e1
-            pth2 = _norm_angle(pth1 + eth)
-
-            wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
-            mean_err = jnp.sum(w * err, axis=1, keepdims=True) / wsum
-            n_inl = jnp.sum(w, axis=1, keepdims=True)
-            h_flat = jnp.concatenate(hs, axis=1)  # (P,6)
-            # CSM termination (sm_icp epsilon_xy/epsilon_theta): once EVERY
-            # pair's full-round step is under the epsilons, further rounds
-            # are no-ops within tolerance — stop the whole program early.
-            # Padded pairs have no valid beams → zero steps → converged.
-            step_x = jnp.abs(d0 + e0)
-            step_y = jnp.abs(d1 + e1)
-            step_t = jnp.abs(dth + eth)
-            conv = jnp.all(
-                (step_x < cfg.epsilon_xy)
-                & (step_y < cfg.epsilon_xy)
-                & (step_t < cfg.epsilon_theta)
+            px2, py2, pth2, mean_err, n_inl, h_flat, conv = _round_tail(
+                cfg, sx, sy, sv, px, py, pth, wx, wy,
+                q1x, q1y, q1v, ax, ay, av, bx, by, bv, dmin, max_d2,
             )
             return i + 1, px2, py2, pth2, mean_err, n_inl, h_flat, conv
 
