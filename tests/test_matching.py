@@ -125,6 +125,29 @@ def test_fused_pallas_matches_xla_path():
     )
 
 
+def test_fused_bcast_kernel_bit_identical_to_matmul():
+    """The broadcast-NN kernel variant (small-batch latency path) must be
+    BIT-identical to the MXU matmul variant — same correspondences, same
+    tie-breaks, same beam-edge invalidation."""
+    from tpu_slam.ops.pallas.plicp_fused import plicp_match_fused
+
+    pairs = [two_scans(seed=s, delta=(0.07, -0.03, 0.05)) for s in range(3)]
+    sp = jnp.stack([p[0].points() for p in pairs])
+    sv = jnp.stack([p[0].valid for p in pairs])
+    tp = jnp.stack([p[1].points() for p in pairs])
+    tv = jnp.stack([p[1].valid for p in pairs])
+    cfg = PLICPConfig()
+    a = plicp_match_fused(sp, sv, tp, tv, cfg, interpret=True, corr="matmul")
+    b = plicp_match_fused(sp, sv, tp, tv, cfg, interpret=True, corr="bcast")
+    np.testing.assert_array_equal(np.asarray(a.pose), np.asarray(b.pose))
+    np.testing.assert_array_equal(
+        np.asarray(a.num_inliers), np.asarray(b.num_inliers)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.covariance), np.asarray(b.covariance)
+    )
+
+
 def test_plicp_point_to_point_config():
     """use_point_to_line_distance=0 → vanilla ICP inside the CSM loop
     (plicp_odometry.cc:128-130)."""
