@@ -130,6 +130,56 @@ def test_hector_fused_matches_xla(hector_seq):
     assert abs(err[0]) < 0.03 and abs(err[1]) < 0.03
 
 
+def test_hector_sampling_covariance(hector_seq):
+    """Sampling-based sigma-point covariance (getCovarianceForPose,
+    OccGridMapUtil.h:249-306): matches a direct numpy replica of the
+    reference's weighted-moment formula and is symmetric PSD."""
+    from tpu_slam.ops import gridmap as gm
+    from tpu_slam.ops.hector import (
+        likelihood_for_state, sampling_covariance, world_pose_to_map,
+    )
+
+    cfg, scans, seq = hector_seq
+    slam = HectorSLAM(cfg)
+    for t in range(3):
+        slam.update_only(index_scan(scans, t), seq.gt_poses[t])
+    slam.last_pose = jnp.asarray(seq.gt_poses[3], jnp.float32)
+    s = index_scan(scans, 3)
+
+    cov = slam.sampling_covariance(s)
+    assert cov.shape == (3, 3)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-8)
+    assert np.all(np.linalg.eigvalsh(cov) >= -1e-8)
+    assert np.all(np.diag(cov) > 0)
+
+    # numpy replica of the reference math at level 0, in map coords
+    gc = slam.grid_cfgs[0]
+    prob = gm.occupancy_prob(slam.grids[0])
+    pm = np.asarray(world_pose_to_map(gc, slam.last_pose))
+    pts = jnp.where(s.valid[..., None], s.points(), 0.0) / gc.resolution
+    x, y, a = pm
+    sig = np.array([
+        [x + 1.5, y, a], [x - 1.5, y, a], [x, y + 1.5, a],
+        [x, y - 1.5, a], [x, y, a + 0.05], [x, y, a - 0.05], [x, y, a],
+    ], np.float32)
+    lh = np.array([
+        float(likelihood_for_state(
+            prob, gc.size_x, gc.size_y, jnp.asarray(p), pts, s.valid
+        ))
+        for p in sig
+    ])
+    wn = lh / lh.sum()
+    mean = (wn[:, None] * sig).sum(0)
+    d = sig - mean
+    ref_cov_map = np.einsum("k,ki,kj->ij", wn, d, d)
+    sc = np.array([gc.resolution, gc.resolution, 1.0])
+    np.testing.assert_allclose(
+        cov, ref_cov_map * np.outer(sc, sc), rtol=1e-4, atol=1e-10
+    )
+    # the center sigma point should be the most likely state
+    assert lh[6] >= lh[:6].max() - 1e-6
+
+
 def test_hector_slam_tracks(hector_seq):
     cfg, scans, seq = hector_seq
     slam = HectorSLAM(cfg)

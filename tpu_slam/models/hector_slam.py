@@ -165,6 +165,31 @@ class HectorSLAM:
         self.last_pose = new_pose
         return pose_np
 
+    def sampling_covariance(self, scan: Scan, level: int = 0) -> np.ndarray:
+        """Sampling-based covariance of `last_pose` at a pyramid level
+        (getCovarianceForPose, OccGridMapUtil.h:249-306) — the reference's
+        alternative to the H≈cov estimate stored in `last_cov`. Returned in
+        WORLD units (the reference leaves it in map cells)."""
+        from tpu_slam.ops import gridmap as gm
+        from tpu_slam.ops.hector import (
+            sampling_covariance, world_pose_to_map,
+        )
+
+        gc = self.grid_cfgs[level]
+        pts = jnp.where(
+            scan.valid[..., None] & jnp.isfinite(scan.points()),
+            scan.points(), 0.0,
+        )
+        valid = scan.valid & jnp.all(jnp.isfinite(scan.points()), axis=-1)
+        cov_map = sampling_covariance(
+            gm.occupancy_prob(self.grids[level]), gc.size_x, gc.size_y,
+            world_pose_to_map(gc, self.last_pose),
+            pts / gc.resolution, valid,
+        )
+        # map cells → meters on the translation rows/cols
+        s = np.array([gc.resolution, gc.resolution, 1.0])
+        return np.asarray(cov_map) * np.outer(s, s)
+
     def run(self, scans: Scan) -> np.ndarray:
         T = scans.ranges.shape[0]
         out = np.zeros((T, 3))

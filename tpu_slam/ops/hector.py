@@ -142,6 +142,68 @@ def match_level(
     return pose, H
 
 
+def likelihood_for_state(
+    prob_flat, size_x: int, size_y: int, pose_map, pts_map, valid
+):
+    """Scan likelihood of a map-coords pose: 1 − residual/N with residual =
+    Σ (1 − M(T(state)·p)) over beams (getLikelihoodForState /
+    getResidualForState / getLikelihoodForResidual,
+    OccGridMapUtil.h:342-373). The reference's DataContainer holds only
+    valid beams; here invalid beams are masked out of both the residual and
+    the count. Broadcasts over leading pose axes."""
+    pw = geo.apply(pose_map, pts_map)
+    val, _, _ = interp_map_with_derivs(prob_flat, size_x, size_y, pw - 0.5)
+    w = valid.astype(pts_map.dtype)
+    n = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+    resid = jnp.sum(w * (1.0 - val), axis=-1)
+    return 1.0 - resid / n
+
+
+def sampling_covariance(
+    prob_flat,
+    size_x: int,
+    size_y: int,
+    pose_map: jax.Array,
+    pts_map: jax.Array,
+    valid: jax.Array,
+    delta_trans: float = 1.5,
+    delta_ang: float = 0.05,
+):
+    """Sampling-based pose covariance (getCovarianceForPose,
+    OccGridMapUtil.h:249-306): likelihood-weighted mean/second-moment of 7
+    sigma poses (±Δxy in map cells, ±Δθ, center) around the matched pose.
+    The reference evaluates the 7 likelihoods in a sequential loop; here
+    they are ONE batched map query. Returns the 3×3 covariance in map
+    coordinates (cells², cell·rad, rad²), like the reference."""
+    x, y, a = pose_map[..., 0], pose_map[..., 1], pose_map[..., 2]
+    dt = jnp.asarray(delta_trans, pose_map.dtype)
+    da = jnp.asarray(delta_ang, pose_map.dtype)
+    sig = jnp.stack(
+        [
+            jnp.stack([x + dt, y, a], axis=-1),
+            jnp.stack([x - dt, y, a], axis=-1),
+            jnp.stack([x, y + dt, a], axis=-1),
+            jnp.stack([x, y - dt, a], axis=-1),
+            jnp.stack([x, y, a + da], axis=-1),
+            jnp.stack([x, y, a - da], axis=-1),
+            pose_map,
+        ],
+        axis=-2,
+    )  # (..., 7, 3)
+    lh = likelihood_for_state(
+        prob_flat, size_x, size_y, sig,
+        jnp.broadcast_to(pts_map, sig.shape[:-1] + pts_map.shape[-2:]),
+        jnp.broadcast_to(valid, sig.shape[:-1] + valid.shape[-1:]),
+    )  # (..., 7)
+    wn = lh / jnp.sum(lh, axis=-1, keepdims=True)
+    mean = jnp.sum(wn[..., None] * sig, axis=-2)
+    d = sig - mean[..., None, :]
+    return jnp.einsum(
+        "...k,...ki,...kj->...ij", wn, d, d,
+        preferred_element_type=pose_map.dtype,
+    )
+
+
 def world_pose_to_map(cfg: GridConfig, pose: jax.Array) -> jax.Array:
     """World pose → map-coords pose (getMapCoordsPose: xy scaled/offset,
     θ unchanged — GridMapBase.h:270-286)."""
