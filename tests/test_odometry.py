@@ -64,6 +64,35 @@ def test_odometry_static_scene():
     assert np.abs(est[:, :2]).max() < 0.01
 
 
+def test_odometry_correction_bounds_gate():
+    """max_linear_correction / max_angular_correction_deg (sm_params,
+    plicp_odometry.cc:71-77): a correction exceeding the declared bounds is
+    rejected — with a zero bound every match fails, so the trajectory must
+    be pure constant-velocity prediction (zeros from rest) instead of
+    following the scans."""
+    import dataclasses
+
+    cfg = default_config()
+    traj = sim.circle_trajectory(10, radius=1.6, angular_rate=0.6)
+    world = sim.office_world(seed=11, clear_path=traj)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, noise_std=0.004, seed=4)
+    scans = make_scan(seq.ranges, cfg.scan, stamp=seq.stamps.astype(np.float32))
+
+    strict = dataclasses.replace(
+        cfg,
+        plicp=dataclasses.replace(
+            cfg.plicp, max_linear_correction=0.0,
+            max_angular_correction_deg=0.0,
+        ),
+    )
+    est = PLICPOdometry(strict).run(scans)
+    # all matches rejected → velocity never leaves zero → stays at origin
+    np.testing.assert_allclose(est, 0.0, atol=1e-6)
+    # sane bounds on the same data track normally
+    est2 = PLICPOdometry(cfg).run(scans)
+    assert ate_rmse(est2, seq.gt_poses) < 0.05
+
+
 def test_odometry_survives_sensor_blackout():
     """Match-failure fallback (plicp_odometry.cc:412-418 'not Converged'):
     a total sensor blackout must not produce NaN or unbounded jumps."""

@@ -67,6 +67,9 @@ class PLICPConfig:
     part f).
     """
 
+    # plausibility bounds on the scan-to-scan correction: CSM uses them to
+    # bound its correspondence search window; with an exhaustive NN they
+    # become a validity gate on the final correction (prediction fallback)
     max_angular_correction_deg: float = 45.0
     max_linear_correction: float = 1.0
     max_iterations: int = 10
@@ -78,8 +81,12 @@ class PLICPConfig:
     outliers_maxPerc: float = 0.90
     outliers_adaptive_order: float = 0.7
     outliers_adaptive_mult: float = 2.0
+    # accepted for config parity; CSM only reads orientation_neighbourhood
+    # on its use_ml_weights/alpha-test paths, which the lessons disable
+    # (plicp_odometry.cc:119-146) — point-to-line normals come from the two
+    # adjacent beams of the correspondence, as here
     orientation_neighbourhood: int = 20
-    do_compute_covariance: bool = False
+    do_compute_covariance: bool = False  # covariance is always returned
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,6 +18,7 @@ matcher used for data-parallel throughput benchmarking.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -97,8 +98,22 @@ class PLICPOdometry:
         # match-failure fallback: keep the constant-velocity prediction
         # (the reference warns "not Converged" and publishes the unchanged
         # transform, plicp_odometry.cc:412-418)
-        match_ok = int(res.num_inliers) >= 10 and bool(
-            np.isfinite(np.asarray(res.pose)).all()
+        # CSM bounds the plausible displacement between scans by
+        # max_angular_correction_deg / max_linear_correction (sm_params,
+        # plicp_odometry.cc:71-77); with an exhaustive NN there is no search
+        # window to bound, so the capability maps to a validity gate on the
+        # final correction.
+        pose_np = np.asarray(res.pose)
+        pcfg = self.cfg.plicp
+        within_bounds = float(
+            np.hypot(pose_np[0], pose_np[1])
+        ) <= pcfg.max_linear_correction and abs(float(pose_np[2])) <= math.radians(
+            pcfg.max_angular_correction_deg
+        )
+        match_ok = (
+            int(res.num_inliers) >= 10
+            and bool(np.isfinite(pose_np).all())
+            and within_bounds
         )
         d_laser = res.pose if match_ok else guess_l
         # corr_ch = base_to_laser ∘ d_laser ∘ laser_to_base (:406)
