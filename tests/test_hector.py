@@ -221,3 +221,18 @@ def test_gmapping_map(hector_seq):
     assert (m == 0).sum() > 5000
     # occupancy fraction rule: hit cells along walls are stable across scans
     assert (m == -1).sum() > 1000
+
+    # PointAccumulator::mean (grid/map.h:17-48): each hit cell's mean hit
+    # position must lie within that cell's bounds
+    means = g.cell_means()
+    hits2d = np.asarray(g.hits).reshape(m.shape)
+    ys, xs = np.nonzero(hits2d > 0)
+    gc = cfg.grid
+    # cell ix spans world [origin + ix·res, origin + (ix+1)·res)
+    cx = gc.origin_x + (xs + 0.5) * gc.resolution
+    cy = gc.origin_y + (ys + 0.5) * gc.resolution
+    mx = means[ys, xs, 0]
+    my = means[ys, xs, 1]
+    pad = gc.resolution * 0.51  # half-cell + fp slack
+    assert np.all(np.abs(mx - cx) <= pad)
+    assert np.all(np.abs(my - cy) <= pad)

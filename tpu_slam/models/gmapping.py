@@ -32,13 +32,16 @@ class GMapping:
         g = cfg.grid
         self.hits = jnp.zeros((g.size_y * g.size_x,), jnp.int32)
         self.visits = jnp.zeros((g.size_y * g.size_x,), jnp.int32)
+        # PointAccumulator acc field (grid/map.h:17-48): per-cell sum of hit
+        # world positions; cell_means() = acc / hits
+        self.acc = jnp.zeros((g.size_y * g.size_x, 2), jnp.float32)
 
         @jax.jit
-        def _update(hits, visits, pose, pts, valid):
+        def _update(hits, visits, acc, pose, pts, valid):
             wp = geo.apply(pose, pts)
             return gm.counts_update_scan(
                 hits, visits, g, pose[:2], wp, valid,
-                max_range=cfg.scan.range_max,
+                max_range=cfg.scan.range_max, acc=acc,
             )
 
         self._update = _update
@@ -47,8 +50,17 @@ class GMapping:
         pts = scan.points()
         valid = scan.valid & jnp.all(jnp.isfinite(pts), axis=-1)
         pts = jnp.where(valid[..., None], pts, 0.0)
-        self.hits, self.visits = self._update(
-            self.hits, self.visits, jnp.asarray(pose, jnp.float32), pts, valid
+        self.hits, self.visits, self.acc = self._update(
+            self.hits, self.visits, self.acc,
+            jnp.asarray(pose, jnp.float32), pts, valid,
+        )
+
+    def cell_means(self) -> np.ndarray:
+        """Per-cell mean hit position (PointAccumulator::mean) as
+        (size_y, size_x, 2) world coordinates; 0 where no hits."""
+        g = self.cfg.grid
+        return np.asarray(gm.counts_mean(self.acc, self.hits)).reshape(
+            g.size_y, g.size_x, 2
         )
 
     def run(self, scans: Scan, poses: np.ndarray) -> None:

@@ -177,13 +177,16 @@ def counts_update_scan(
     endpoints: jax.Array,
     valid: jax.Array,
     max_range: float | None = None,
+    acc: jax.Array | None = None,
 ):
     """GMapping per-beam counters, **no** per-scan dedup: every beam's ray
     increments visits along the line and (visits, hits) at the endpoint
     (gmapping.cc:146-229, PointAccumulator grid/map.h:17-48).
 
     Count-valued scatter-adds: overlapping beams accumulate, exactly like the
-    sequential Bresenham loops.
+    sequential Bresenham loops. If ``acc`` (cells, 2) is given, hit world
+    positions are accumulated into it too and it is returned as a third
+    output (PointAccumulator's acc field).
     """
     free_idx, end_idx = ray_cell_indices(
         cfg, origin_xy, endpoints, valid, max_range=max_range
@@ -199,7 +202,21 @@ def counts_update_scan(
     visits = visits.at[uniq.reshape(-1)].add(1, mode="drop")
     visits = visits.at[end_idx.reshape(-1)].add(1, mode="drop")
     hits = hits.at[end_idx.reshape(-1)].add(1, mode="drop")
-    return hits, visits
+    if acc is None:
+        return hits, visits
+    # PointAccumulator hit-position accumulation (grid/map.h:17-48:
+    # `acc.x += hit.x; acc.y += hit.y` on every endpoint update): the same
+    # endpoints that increment `hits` contribute their world coordinates
+    acc = acc.at[end_idx.reshape(-1)].add(
+        endpoints.reshape(-1, 2).astype(acc.dtype), mode="drop"
+    )
+    return hits, visits, acc
+
+
+def counts_mean(acc: jax.Array, hits: jax.Array) -> jax.Array:
+    """Per-cell mean hit position (PointAccumulator::mean, grid/map.h:17-48);
+    cells with no hits → 0."""
+    return acc / jnp.maximum(hits, 1)[..., None].astype(acc.dtype)
 
 
 def counts_occupancy(
