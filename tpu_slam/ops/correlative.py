@@ -521,14 +521,19 @@ def find_valid_points(
 
     first_idx = jnp.argmax(valid)
     anchor0 = pts[first_idx]
-    _, (moved, ok) = jax.lax.scan(fwd, anchor0, (pts, valid))
+    # unroll: the loop-carried state is tiny (one anchor point) and each
+    # TPU loop trip costs ~50-100 µs of launch latency — 2×N sequential
+    # trips dominated a whole correlative match before unrolling
+    _, (moved, ok) = jax.lax.scan(fwd, anchor0, (pts, valid), unroll=32)
 
     def bwd(pending, inp):
         m, o = inp
         verdict = jnp.where(m, o, pending)
         return verdict, verdict
 
-    _, keep = jax.lax.scan(bwd, jnp.array(True), (moved, ok), reverse=True)
+    _, keep = jax.lax.scan(
+        bwd, jnp.array(True), (moved, ok), reverse=True, unroll=32
+    )
     return valid & keep
 
 
