@@ -155,6 +155,71 @@ def test_laser_rig_upside_down_detection():
     assert LaserRig().is_identity and not rig.is_identity
 
 
+def test_karto_multi_sensor_shared_graph(loop_setup):
+    """Two registered lasers (MapperSensorManager, Mapper.h:1288-1404):
+    per-sensor running buffers / previous-scan links / HasMovedEnough, one
+    shared pose graph. A front laser and a yaw-rotated second laser fed
+    alternately must each keep a per-sensor scan list, both must contribute
+    graph nodes, and the combined base trajectory must track ground truth."""
+    import jax
+
+    from tpu_slam.models.karto.pipeline import LaserRig
+
+    cfg, scans, seq, odom = loop_setup
+    n = 60
+    sub = jax.tree_util.tree_map(lambda a: a[:n], scans)
+    ranges = np.asarray(sub.ranges)
+    valid = np.asarray(sub.valid)
+    stamps = np.asarray(sub.stamp)
+
+    slam = KartoSLAM(cfg)  # laser0 = identity rig
+    yaw = 0.25
+    slam.register_laser("laser1", LaserRig(offset=(0.0, 0.0, yaw)))
+
+    gt = seq.gt_poses[:n]
+    accepted = {"laser0": [], "laser1": []}
+    for t in range(n):
+        name = "laser0" if t % 2 == 0 else "laser1"
+        sc = make_scan(
+            ranges[t][None], cfg.scan, stamp=stamps[t][None]
+        )
+        sc = jax.tree_util.tree_map(lambda a: a[0], sc)
+        if name == "laser1":
+            # a laser yawed by +yaw sees the same world rotated by -yaw:
+            # shift the beam array so beam angles stay aligned
+            shift = int(round(yaw / float(sc.angles[1] - sc.angles[0])))
+            sc = dataclasses.replace(
+                sc,
+                ranges=jnp.roll(sc.ranges, -shift),
+                valid=jnp.roll(sc.valid, -shift),
+            )
+        if slam.process(sc, odom[t], sensor=name):
+            accepted[name].append(t)
+
+    # per-sensor scan lists are disjoint and cover all scans
+    ids0 = slam.sensors["laser0"].scan_ids
+    ids1 = slam.sensors["laser1"].scan_ids
+    assert len(ids0) > 10 and len(ids1) > 10
+    assert set(ids0).isdisjoint(ids1)
+    assert len(ids0) + len(ids1) == len(slam.scans)
+    # per-sensor seq numbering is contiguous
+    assert [slam.scans[i].seq for i in ids0] == list(range(len(ids0)))
+    assert [slam.scans[i].seq for i in ids1] == list(range(len(ids1)))
+    # both sensors' chains feed ONE graph: some edge connects the sensors
+    cross = any(
+        slam.scans[i].sensor != slam.scans[j].sensor
+        for i, nbrs in slam.adjacency.items()
+        for j in nbrs
+    )
+    assert cross, "no cross-sensor edges in the shared graph"
+
+    # combined base trajectory tracks ground truth (scans are stored in
+    # acceptance order == time order, matching sorted accepted timesteps)
+    order_t = sorted(accepted["laser0"] + accepted["laser1"])
+    est = slam.trajectory()
+    assert ate_rmse(est, gt[order_t]) < 0.15
+
+
 def test_karto_laser_rig_offset_equivariance(loop_setup):
     """Feeding BASE odometry with a registered laser offset (and an
     upside-down laser whose readings arrive reversed) must reproduce the

@@ -82,6 +82,21 @@ class LaserRig:
 
 
 @dataclasses.dataclass
+class SensorState:
+    """Per-sensor scan manager (karto::ScanManager inside
+    MapperSensorManager, Mapper.h:1288-1404): each registered laser keeps
+    its own scan list, running buffer and last-scan pointer; the pose graph
+    and solver are shared across sensors."""
+
+    name: str
+    laser: LaserRig
+    offset: np.ndarray  # (3,) f64 laser-in-base offset
+    scan_ids: list = dataclasses.field(default_factory=list)  # global ids
+    running: "deque[int]" = dataclasses.field(default_factory=deque)
+    last_scan_id: int | None = None
+
+
+@dataclasses.dataclass
 class ScanRecord:
     """LocalizedRangeScan analogue (Karto.h:5171-5470): laser-frame points
     are immutable; world data derives from the (mutable) corrected pose."""
@@ -93,6 +108,8 @@ class ScanRecord:
     odom_pose: np.ndarray  # (3,)
     corrected_pose: np.ndarray  # (3,) sensor pose (updated by matching/solver)
     time: float = 0.0  # scan timestamp, seconds (GetTime)
+    sensor: str = "laser0"  # GetSensorName (Karto.h:5208)
+    seq: int = 0  # per-sensor StateId (per-sensor scan-list index)
 
     def reference_position(self, use_barycenter: bool) -> np.ndarray:
         """GetReferencePose (Karto.h:5280-5299)."""
@@ -144,8 +161,11 @@ class KartoSLAM:
         # laser device registration: offset pose + upside-down handling
         # (SlamKarto::getLaser). API-boundary poses are BASE poses when a
         # rig with an offset is registered; internal poses stay sensor poses.
-        self.laser = laser or LaserRig()
-        self._offset = np.asarray(self.laser.offset, np.float64)
+        # Multiple lasers: one SensorState per registered device feeding the
+        # shared graph (MapperSensorManager, Mapper.h:1288-1404).
+        self.sensors: dict[str, SensorState] = {}
+        self.default_sensor = "laser0"
+        self.register_laser("laser0", laser or LaserRig())
         c = cfg.correlative
         rng_th = cfg.scan.range_threshold
         self.front_matcher = CorrelativeMatcher(
@@ -180,9 +200,8 @@ class KartoSLAM:
         self.solver = PoseGraphSolver(cfg.solver)
         self._pending = None  # in-flight async back-end solve
         self.scans: list[ScanRecord] = []
-        self.running: deque[int] = deque()
         self.adjacency: dict[int, set[int]] = {}
-        self._last_scan_id: int | None = None
+        self._last_processed: int | None = None  # across all sensors
         self.loop_closures = 0
         self._base_buckets = {}
         # MapperListener analogue (Mapper.h:35-83): loop-closure decisions
@@ -191,16 +210,42 @@ class KartoSLAM:
         # per-stage wall clocks (the reference's chrono prints, SURVEY §5)
         self.timer = StageTimer()
 
+    # --- sensor registry (MapperSensorManager::RegisterSensor) --------------
+    def register_laser(self, name: str, laser: LaserRig | None = None):
+        """Register a laser device (SlamKarto::getLaser registers one rig
+        per frame_id, karto_slam.cc:327-405)."""
+        self.sensors[name] = SensorState(
+            name=name,
+            laser=laser or LaserRig(),
+            offset=np.asarray((laser or LaserRig()).offset, np.float64),
+        )
+
+    # single-sensor convenience views (the common case and the pre-multi-
+    # sensor API): the default sensor's rig / running buffer / last scan
+    @property
+    def laser(self) -> LaserRig:
+        return self.sensors[self.default_sensor].laser
+
+    @property
+    def running(self) -> "deque[int]":
+        return self.sensors[self.default_sensor].running
+
+    @property
+    def _last_scan_id(self) -> int | None:
+        return self.sensors[self.default_sensor].last_scan_id
 
     # --- scan bookkeeping ---------------------------------------------------
-    def _make_record(self, scan: Scan, odom_pose: np.ndarray) -> ScanRecord:
+    def _make_record(
+        self, scan: Scan, odom_pose: np.ndarray, sensor: str
+    ) -> ScanRecord:
         # polar->Cartesian on the HOST: the record is host state, and doing
         # this as a device op would cost fetch round-trips per scan (including
         # the ones HasMovedEnough rejects)
+        st = self.sensors[sensor]
         r = np.asarray(scan.ranges)
         a = np.asarray(scan.angles)
         rv = np.asarray(scan.valid)
-        if self.laser.inverted:
+        if st.laser.inverted:
             # upside-down mount: readings reversed (karto_slam.cc:417-425)
             r = r[::-1]
             rv = rv[::-1]
@@ -212,8 +257,8 @@ class KartoSLAM:
         # odom_pose arrives as a BASE pose; internal poses are sensor poses
         # (GetSensorAt = base ∘ offset, Karto.h:5331-5345)
         sensor_odom = np.asarray(odom_pose, np.float64)
-        if not self.laser.is_identity:
-            sensor_odom = _np_compose(sensor_odom, self._offset)
+        if not st.laser.is_identity:
+            sensor_odom = _np_compose(sensor_odom, st.offset)
         return ScanRecord(
             state_id=len(self.scans),
             pts_laser=pts.astype(np.float32),
@@ -222,13 +267,17 @@ class KartoSLAM:
             odom_pose=sensor_odom,
             corrected_pose=sensor_odom.copy(),
             time=float(np.asarray(scan.stamp)),
+            sensor=sensor,
+            seq=len(st.scan_ids),
         )
 
     def _has_moved_enough(self, rec: ScanRecord) -> bool:
-        """HasMovedEnough (Mapper.cpp:2087-2120): odometric travel gates."""
-        if self._last_scan_id is None:
+        """HasMovedEnough (Mapper.cpp:2087-2120): odometric travel gates,
+        vs the last scan of the SAME sensor (GetLastScan(rSensorName))."""
+        last_id = self.sensors[rec.sensor].last_scan_id
+        if last_id is None:
             return True
-        last = self.scans[self._last_scan_id]
+        last = self.scans[last_id]
         k = self.cfg.karto
         # enough time passed (MinimumTimeInterval gate, Mapper.cpp:2095-2099)
         if rec.time - last.time >= k.minimum_time_interval:
@@ -400,9 +449,15 @@ class KartoSLAM:
             if near == sid or near in processed:
                 continue
             processed.add(near)
+            # chains extend along the NEAR scan's sensor scan list
+            # (GetScan(pNearScan->GetSensorName(), candidateScanNum),
+            # Mapper.cpp:1208-1211)
+            slist = self.sensors[self.scans[near].sensor].scan_ids
+            seq = self.scans[near].seq
             valid_chain = True
             chain = []
-            for cand in range(near - 1, -1, -1):  # scans before
+            for cs in range(seq - 1, -1, -1):  # scans before
+                cand = slist[cs]
                 if cand == sid:
                     valid_chain = False
                 if in_range[cand]:
@@ -411,7 +466,8 @@ class KartoSLAM:
                 else:
                     break
             chain.append(near)
-            for cand in range(near + 1, len(self.scans)):  # scans after
+            for cs in range(seq + 1, len(slist)):  # scans after
+                cand = slist[cs]
                 if cand == sid:
                     valid_chain = False
                 if in_range[cand]:
@@ -424,16 +480,40 @@ class KartoSLAM:
         return chains
 
     def _add_edges(self, rec: ScanRecord, cov: np.ndarray):
-        """AddEdges (Mapper.cpp:902-973)."""
+        """AddEdges (Mapper.cpp:902-973). The previous-scan and running-
+        chain links are within rec's sensor (GetScan(rSensorName, id−1) /
+        GetRunningScans(rSensorName)); near chains may cross sensors."""
         sid = rec.state_id
+        st = self.sensors[rec.sensor]
         means, covs = [], []
-        if self._last_scan_id is not None:
-            # 1) previous scan
-            self._link(sid - 1, sid, rec.corrected_pose, cov)
+        if st.last_scan_id is not None:
+            # 1) previous scan of the same sensor
+            self._link(st.last_scan_id, sid, rec.corrected_pose, cov)
             # 2) running chain (one edge to the closest running scan)
             means.append(rec.corrected_pose.copy())
             covs.append(np.asarray(cov, np.float64))
-            self._link_chain(list(self.running), sid, rec.corrected_pose, cov)
+            self._link_chain(list(st.running), sid, rec.corrected_pose, cov)
+        else:
+            # first scan of this sensor: match against every OTHER sensor's
+            # scans and link to that sensor's scan 0 ("link to first scan of
+            # other robots", Mapper.cpp:922-953). Edge added regardless of
+            # response; only strong responses join the weighted mean.
+            for name, ost in self.sensors.items():
+                if name == rec.sensor or not ost.scan_ids:
+                    continue
+                res = self._match(
+                    self.front_matcher, rec, list(ost.scan_ids),
+                    rec.corrected_pose,
+                )
+                mean = np.asarray(res.pose, np.float64)
+                c = np.asarray(res.covariance, np.float64)
+                self._link(ost.scan_ids[0], sid, mean, c)
+                if (
+                    float(res.response)
+                    > self.cfg.karto.link_match_minimum_response_fine
+                ):
+                    means.append(mean)
+                    covs.append(c)
         # 3) near chains — all matched in one batched device program
         # (the reference's per-chain MatchScan loop, Mapper.cpp:928-967)
         k = self.cfg.karto
@@ -474,27 +554,30 @@ class KartoSLAM:
         acc[2] = math.atan2(ty / len(means), tx / len(means))
         return acc
 
-    def _add_running(self, sid: int):
-        """AddRunningScan (Mapper.h:1365-1386)."""
-        self.running.append(sid)
+    def _add_running(self, rec: ScanRecord):
+        """AddRunningScan (Mapper.h:1365-1386), per sensor."""
+        running = self.sensors[rec.sensor].running
+        running.append(rec.state_id)
         k = self.cfg.karto
-        while len(self.running) > 1:
-            front = self.scans[self.running[0]]
-            back = self.scans[self.running[-1]]
+        while len(running) > 1:
+            front = self.scans[running[0]]
+            back = self.scans[running[-1]]
             d2 = np.sum(
                 (back.corrected_pose[:2] - front.corrected_pose[:2]) ** 2
             )
             if (
-                len(self.running) > k.scan_buffer_size
+                len(running) > k.scan_buffer_size
                 or d2 > k.scan_buffer_maximum_scan_distance**2 - 1e-6
             ):
-                self.running.popleft()
+                running.popleft()
             else:
                 break
 
     def _find_possible_loop(self, sid: int, start: int):
-        """FindPossibleLoopClosure (Mapper.cpp:1333-1394). Returns
-        (chain, next_start)."""
+        """FindPossibleLoopClosure (Mapper.cpp:1333-1394): candidate chains
+        come from the processed scan's OWN sensor scan list
+        (GetScans(rSensorName)); ``start`` is a per-sensor seq index.
+        Returns (chain of global ids, next_start)."""
         lp = self.cfg.loop
         refs = self._all_ref_positions()
         near_linked = set(
@@ -506,10 +589,12 @@ class KartoSLAM:
             np.sum((refs - refs[sid]) ** 2, axis=-1)
             < lp.loop_search_maximum_distance**2 + 1e-6
         )
+        slist = self.sensors[self.scans[sid].sensor].scan_ids
         chain = []
-        n = len(self.scans)
-        i = start
-        while i < n:
+        n = len(slist)
+        s = start
+        while s < n:
+            i = slist[s]
             if in_range[i]:
                 if i in near_linked:
                     chain = []
@@ -517,9 +602,9 @@ class KartoSLAM:
                     chain.append(i)
             else:
                 if len(chain) >= lp.loop_match_minimum_chain_size:
-                    return chain, i
+                    return chain, s
                 chain = []
-            i += 1
+            s += 1
         return (
             chain if len(chain) >= lp.loop_match_minimum_chain_size else [],
             n,
@@ -661,15 +746,20 @@ class KartoSLAM:
         return True
 
     # --- main entry ---------------------------------------------------------
-    def process(self, scan: Scan, odom_pose) -> bool:
+    def process(self, scan: Scan, odom_pose, sensor: str | None = None) -> bool:
         """Mapper::Process (Mapper.cpp:1999-2120). Returns True if the scan
-        was accepted (moved enough) and integrated."""
-        rec = self._make_record(scan, np.asarray(odom_pose, np.float64))
+        was accepted (moved enough) and integrated. ``sensor`` selects a
+        registered laser (default: the one registered at construction)."""
+        sensor = sensor or self.default_sensor
+        st = self.sensors[sensor]
+        rec = self._make_record(
+            scan, np.asarray(odom_pose, np.float64), sensor
+        )
         self._poll_correction()  # apply a finished async solve, if any
 
         # propagate last correction onto the odometric estimate (:2023-2024)
-        if self._last_scan_id is not None:
-            last = self.scans[self._last_scan_id]
+        if st.last_scan_id is not None:
+            last = self.scans[st.last_scan_id]
             delta = _np_rel(last.odom_pose, rec.odom_pose)
             rec.corrected_pose = _np_compose(last.corrected_pose, delta)
 
@@ -677,37 +767,41 @@ class KartoSLAM:
             return False
 
         cov = np.eye(3)
-        if self.cfg.karto.use_scan_matching and self._last_scan_id is not None:
+        if self.cfg.karto.use_scan_matching and st.last_scan_id is not None:
             with self.timer.stage("front_match"):
                 res = self._match(
-                    self.front_matcher, rec, list(self.running),
+                    self.front_matcher, rec, list(st.running),
                     rec.corrected_pose,
                 )
             rec.corrected_pose = np.asarray(res.pose, np.float64)
             cov = np.asarray(res.covariance, np.float64)
 
         rec.state_id = len(self.scans)
+        rec.seq = len(st.scan_ids)
         self.scans.append(rec)
+        st.scan_ids.append(rec.state_id)
         self.solver.add_node(rec.state_id, rec.corrected_pose)
         if self.cfg.karto.use_scan_matching:
             with self.timer.stage("add_edges"):
                 self._add_edges(rec, cov)
             # AddEdges may refine the pose via the weighted mean (:968-971)
             self.solver.set_node_pose(rec.state_id, rec.corrected_pose)
-        self._add_running(rec.state_id)
+        self._add_running(rec)
         if self.cfg.karto.do_loop_closing and self.cfg.karto.use_scan_matching:
             with self.timer.stage("try_close_loop"):
                 self._try_close_loop(rec)
-        self._last_scan_id = rec.state_id
+        st.last_scan_id = rec.state_id
+        self._last_processed = rec.state_id
         return True
 
     def map_to_odom(self) -> np.ndarray:
         """The map→odom correction transform the reference publishes on TF
         (karto_slam.cc:447-473): corrected_pose ∘ odom_pose⁻¹ of the last
-        processed scan, so that map_to_odom ∘ odom = corrected."""
-        if self._last_scan_id is None:
+        processed scan (any sensor — the laser offset cancels), so that
+        map_to_odom ∘ odom = corrected."""
+        if self._last_processed is None:
             return np.zeros(3)
-        rec = self.scans[self._last_scan_id]
+        rec = self.scans[self._last_processed]
         c, s = math.cos(rec.odom_pose[2]), math.sin(rec.odom_pose[2])
         inv = np.array(
             [
@@ -719,14 +813,21 @@ class KartoSLAM:
         return _np_compose(rec.corrected_pose, inv)
 
     def trajectory(self) -> np.ndarray:
-        """Corrected BASE poses (sensor poses with the rig offset removed;
-        map→odom is offset-invariant, so only this boundary converts)."""
+        """Corrected BASE poses (sensor poses with each rec's rig offset
+        removed; map→odom is offset-invariant, so only this boundary
+        converts)."""
         self.flush()
-        out = np.asarray([r.corrected_pose for r in self.scans])
-        if not self.laser.is_identity and len(out):
-            inv_off = _np_inv(self._offset)
-            out = np.asarray([_np_compose(p, inv_off) for p in out])
-        return out
+        inv_offs = {
+            name: _np_inv(st.offset) for name, st in self.sensors.items()
+        }
+        return np.asarray(
+            [
+                r.corrected_pose
+                if self.sensors[r.sensor].laser.is_identity
+                else _np_compose(r.corrected_pose, inv_offs[r.sensor])
+                for r in self.scans
+            ]
+        ).reshape(-1, 3)
 
     def run(self, scans: Scan, odom_poses: np.ndarray) -> np.ndarray:
         """Replay a sequence; returns corrected poses of ACCEPTED scans and

@@ -34,14 +34,24 @@ def save_karto(slam: "KartoSLAM", path: str) -> None:
         edge_j=np.asarray([e[1] for e in edges], np.int32),
         edge_mean=np.stack([e[2] for e in edges]) if edges else np.zeros((0, 3)),
         edge_info=np.stack([e[3] for e in edges]) if edges else np.zeros((0, 3, 3)),
-        running=np.asarray(list(slam.running), np.int32),
         meta=np.frombuffer(
             json.dumps(
                 {
-                    "last_scan_id": slam._last_scan_id,
                     "loop_closures": slam.loop_closures,
                     "adjacency": {
                         str(k): sorted(v) for k, v in slam.adjacency.items()
+                    },
+                    "scan_sensors": [r.sensor for r in recs],
+                    "last_processed": slam._last_processed,
+                    "default_sensor": slam.default_sensor,
+                    "sensors": {
+                        name: {
+                            "offset": list(st.laser.offset),
+                            "inverted": st.laser.inverted,
+                            "running": list(st.running),
+                            "last_scan_id": st.last_scan_id,
+                        }
+                        for name, st in slam.sensors.items()
                     },
                 }
             ).encode(),
@@ -54,10 +64,13 @@ def load_karto(slam: "KartoSLAM", path: str) -> None:
     """Restore a mapper snapshot into a freshly-constructed KartoSLAM."""
     from collections import deque
 
-    from tpu_slam.models.karto.pipeline import ScanRecord
+    from tpu_slam.models.karto.pipeline import (
+        LaserRig, ScanRecord, SensorState,
+    )
 
     z = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(z["meta"]).decode())
+    sensors = meta["scan_sensors"]
     slam.scans = [
         ScanRecord(
             state_id=i,
@@ -66,14 +79,29 @@ def load_karto(slam: "KartoSLAM", path: str) -> None:
             bary_local=z["bary"][i],
             odom_pose=z["odom"][i],
             corrected_pose=z["corrected"][i],
+            sensor=sensors[i],
         )
         for i in range(z["pts"].shape[0])
     ]
-    slam.running = deque(int(i) for i in z["running"])
+    slam.default_sensor = meta["default_sensor"]
+    slam.sensors = {}
+    for name, s in meta["sensors"].items():
+        rig = LaserRig(offset=tuple(s["offset"]), inverted=s["inverted"])
+        slam.sensors[name] = SensorState(
+            name=name,
+            laser=rig,
+            offset=np.asarray(rig.offset, np.float64),
+            running=deque(int(i) for i in s["running"]),
+            last_scan_id=s["last_scan_id"],
+        )
+    for rec in slam.scans:  # rebuild per-sensor scan lists + seq
+        st = slam.sensors[rec.sensor]
+        rec.seq = len(st.scan_ids)
+        st.scan_ids.append(rec.state_id)
     slam.adjacency = {
         int(k): set(v) for k, v in meta["adjacency"].items()
     }
-    slam._last_scan_id = meta["last_scan_id"]
+    slam._last_processed = meta["last_processed"]
     slam.loop_closures = meta["loop_closures"]
     slam.solver.clear()
     for rec in slam.scans:
