@@ -256,3 +256,25 @@ def test_karto_laser_rig_offset_equivariance(loop_setup):
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-2)
+
+    # karto_map must rasterize from SENSOR poses (laser-frame points +
+    # corrected sensor pose), so the rigged map ≈ the identity-rig map
+    from tpu_slam.models.karto.occupancy import karto_map
+
+    m_plain, g_plain = karto_map(plain, resolution=0.1)
+    m_rig, g_rig = karto_map(rigged, resolution=0.1)
+    occ_plain = np.argwhere(m_plain == 100)
+    occ_rig = np.argwhere(m_rig == 100)
+    # compare occupied cells in WORLD coords (grids auto-bound separately)
+    w_plain = occ_plain[:, ::-1] * g_plain.resolution + [
+        g_plain.origin_x, g_plain.origin_y
+    ]
+    w_rig = occ_rig[:, ::-1] * g_rig.resolution + [
+        g_rig.origin_x, g_rig.origin_y
+    ]
+    assert len(w_rig) > 0.5 * len(w_plain)
+    d = np.sqrt(
+        ((w_rig[:, None, :] - w_plain[None, :, :]) ** 2).sum(-1)
+    ).min(axis=1)
+    # every rigged occupied cell has a plain occupied cell within 2 cells
+    assert np.quantile(d, 0.95) <= 2 * g_plain.resolution + 1e-9
