@@ -98,3 +98,75 @@ def test_undistortion_recovers_true_geometry():
     assert raw_err.max() > 0.05  # distortion is significant
     assert err.max() < 0.02  # corrected within interp error
     assert err.mean() < raw_err.mean() / 10.0
+
+
+def test_undistortion_feeds_matcher():
+    """The lesson5 capability in context (BASELINE config 3: 'correction
+    feeding matcher'): under fast rotation, PL-ICP frame-to-frame deltas on
+    undistorted points must beat deltas on raw distorted points."""
+    from tpu_slam.config import default_config
+    from tpu_slam.ops.plicp import plicp_match
+
+    cfg = default_config()
+    scfg = ScanConfig(num_beams=180)
+    world = sim.office_world(seed=5)
+    T = 12
+    traj = sim.circle_trajectory(T, radius=1.5, angular_rate=1.5)
+    seq = sim.simulate_sequence(
+        world, traj, scfg, noise_std=0.0, seed=1, motion_distortion=True,
+        imu_rate_hz=500.0, odom_rate_hz=200.0,
+    )
+    scans = make_scan(seq.ranges, scfg, stamp=seq.stamps.astype(np.float32))
+
+    raw = np.where(
+        np.asarray(scans.valid)[..., None], np.asarray(scans.points()), 0.0
+    ).astype(np.float32)
+    corrected = np.stack(
+        [
+            np.asarray(
+                undistort_scan(
+                    index_scan(scans, t),
+                    jnp.asarray(seq.imu_stamps, jnp.float32),
+                    jnp.asarray(seq.imu_omega, jnp.float32),
+                    jnp.asarray(seq.odom_stamps, jnp.float32),
+                    jnp.asarray(seq.odom_poses, jnp.float32),
+                )
+            )
+            for t in range(T)
+        ]
+    )
+    valid = np.asarray(scans.valid)
+
+    # gt deltas between first-beam poses (= poses at the scan stamps)
+    gt_d = np.stack(
+        [
+            np.asarray(
+                geo.relative(
+                    jnp.asarray(seq.gt_poses[t - 1]),
+                    jnp.asarray(seq.gt_poses[t]),
+                )
+            )
+            for t in range(1, T)
+        ]
+    )
+
+    def delta_rmse(pts):
+        res = plicp_match(
+            jnp.asarray(pts[1:]), jnp.asarray(valid[1:]),
+            jnp.asarray(pts[:-1]), jnp.asarray(valid[:-1]),
+            cfg.plicp,
+        )
+        err = np.asarray(res.pose) - gt_d
+        err[:, 2] = np.arctan2(np.sin(err[:, 2]), np.cos(err[:, 2]))
+        return (
+            float(np.sqrt((err[:, :2] ** 2).mean())),
+            float(np.sqrt((err[:, 2] ** 2).mean())),
+        )
+
+    raw_t, raw_r = delta_rmse(raw)
+    cor_t, cor_r = delta_rmse(corrected)
+    # correction must help substantially under strong rotation distortion
+    assert cor_r < 0.5 * raw_r, (raw_r, cor_r)
+    assert cor_t < 0.7 * raw_t, (raw_t, cor_t)
+    # and be accurate in absolute terms
+    assert cor_t < 0.01 and cor_r < 0.01, (cor_t, cor_r)
