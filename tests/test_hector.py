@@ -236,3 +236,18 @@ def test_gmapping_map(hector_seq):
     pad = gc.resolution * 0.51  # half-cell + fp slack
     assert np.all(np.abs(mx - cx) <= pad)
     assert np.all(np.abs(my - cy) <= pad)
+
+
+def test_sampling_covariance_off_map_is_finite():
+    """All-zero sigma-point likelihoods (pose off the map) must yield a
+    finite (large) covariance, not NaN."""
+    cfg = small_cfg()
+    slam = HectorSLAM(cfg)
+    slam.last_pose = jnp.asarray([1e3, 1e3, 0.0], jnp.float32)  # off-map
+    world = sim.office_world(seed=3)
+    traj = sim.circle_trajectory(2, radius=1.0)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, seed=0)
+    s = index_scan(make_scan(seq.ranges, cfg.scan), 0)
+    cov = slam.sampling_covariance(s)
+    assert np.isfinite(cov).all()
+    assert np.all(np.diag(cov) >= 0)

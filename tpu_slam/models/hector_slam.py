@@ -176,11 +176,10 @@ class HectorSLAM:
         )
 
         gc = self.grid_cfgs[level]
-        pts = jnp.where(
-            scan.valid[..., None] & jnp.isfinite(scan.points()),
-            scan.points(), 0.0,
-        )
-        valid = scan.valid & jnp.all(jnp.isfinite(scan.points()), axis=-1)
+        p = scan.points()
+        finite = jnp.isfinite(p)
+        pts = jnp.where(scan.valid[..., None] & finite, p, 0.0)
+        valid = scan.valid & jnp.all(finite, axis=-1)
         cov_map = sampling_covariance(
             gm.occupancy_prob(self.grids[level]), gc.size_x, gc.size_y,
             world_pose_to_map(gc, self.last_pose),

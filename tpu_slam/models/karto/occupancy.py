@@ -65,6 +65,8 @@ def occupancy_from_scans(
     """
     ncells = grid_cfg.size_y * grid_cfg.size_x
     T = poses.shape[0]
+    if T == 0:
+        return np.full((grid_cfg.size_y, grid_cfg.size_x), -1, np.int8)
     C = min(scans_per_block, T)
     pad = (-T) % C
     if pad:

@@ -214,10 +214,11 @@ class KartoSLAM:
     def register_laser(self, name: str, laser: LaserRig | None = None):
         """Register a laser device (SlamKarto::getLaser registers one rig
         per frame_id, karto_slam.cc:327-405)."""
+        rig = laser or LaserRig()
         self.sensors[name] = SensorState(
             name=name,
-            laser=laser or LaserRig(),
-            offset=np.asarray((laser or LaserRig()).offset, np.float64),
+            laser=rig,
+            offset=np.asarray(rig.offset, np.float64),
         )
 
     # single-sensor convenience views (the common case and the pre-multi-
@@ -317,7 +318,11 @@ class KartoSLAM:
         (CorrelativeMatcher._full_chains)."""
         cap_c = {1: 1, 2: 2}.get(len(chains), 4)
         cap_s = self._bucket(max(len(c) for c in chains))
-        n = self.scans[0].pts_laser.shape[0]
+        # lasers may have different beam counts (one shape per registered
+        # sensor); pad every record to the largest, invalid-padded
+        n = max(
+            self.scans[i].pts_laser.shape[0] for c in chains for i in c
+        )
         poses = np.zeros((cap_c, cap_s, 3), np.float32)
         pts = np.zeros((cap_c, cap_s, n, 2), np.float32)
         valid = np.zeros((cap_c, cap_s, n), bool)
@@ -326,9 +331,10 @@ class KartoSLAM:
             lane_valid[k] = True
             for j, i in enumerate(chain):
                 r = self.scans[i]
+                nb = r.pts_laser.shape[0]
                 poses[k, j] = r.corrected_pose
-                pts[k, j] = r.pts_laser
-                valid[k, j] = r.beam_valid
+                pts[k, j, :nb] = r.pts_laser
+                valid[k, j, :nb] = r.beam_valid
         return poses, pts, valid, lane_valid
 
     def _match_chains(
@@ -573,11 +579,12 @@ class KartoSLAM:
             else:
                 break
 
-    def _find_possible_loop(self, sid: int, start: int):
+    def _find_possible_loop(self, sid: int, start: int, sensor: str):
         """FindPossibleLoopClosure (Mapper.cpp:1333-1394): candidate chains
-        come from the processed scan's OWN sensor scan list
-        (GetScans(rSensorName)); ``start`` is a per-sensor seq index.
-        Returns (chain of global ids, next_start)."""
+        come from ``sensor``'s scan list (GetScans(rSensorName) — the caller
+        iterates all registered sensors, Mapper.cpp:2064-2069); ``start`` is
+        a seq index into that list. Returns (chain of global ids,
+        next_start)."""
         lp = self.cfg.loop
         refs = self._all_ref_positions()
         near_linked = set(
@@ -589,7 +596,7 @@ class KartoSLAM:
             np.sum((refs - refs[sid]) ** 2, axis=-1)
             < lp.loop_search_maximum_distance**2 + 1e-6
         )
-        slist = self.sensors[self.scans[sid].sensor].scan_ids
+        slist = self.sensors[sensor].scan_ids
         chain = []
         n = len(slist)
         s = start
@@ -668,36 +675,38 @@ class KartoSLAM:
         matched in one batched device program; only when a closure succeeds
         (poses change) are the remaining candidates re-gathered from the new
         poses — reproducing the sequential semantics exactly."""
-        lp = self.cfg.loop
-        k = self.cfg.karto
         sid = rec.state_id
         closed = False
-        start = 0
-        while True:
-            # gather every candidate chain from the current poses (host only)
-            cands = []
-            s = start
+        # the reference tries loop closure against EVERY registered
+        # sensor's scan list (Mapper.cpp:2064-2069)
+        for sname in self.sensors:
+            start = 0
             while True:
-                chain, s = self._find_possible_loop(sid, s)
-                if not chain:
+                # gather every candidate chain from the current poses
+                # (host only)
+                cands = []
+                s = start
+                while True:
+                    chain, s = self._find_possible_loop(sid, s, sname)
+                    if not chain:
+                        break
+                    cands.append((chain, s))
+                if not cands:
                     break
-                cands.append((chain, s))
-            if not cands:
-                break
-            with self.timer.stage("loop_coarse"):
-                coarse_all = self._match_chains(
-                    self.loop_matcher, rec, [c for c, _ in cands],
-                    rec.corrected_pose, do_penalize=False, do_fine=False,
-                )
-            progressed = False
-            for (chain, nxt), coarse in zip(cands, coarse_all):
-                start = nxt
-                if self._attempt_loop_closure(rec, chain, coarse):
-                    closed = True
-                    progressed = True
-                    break  # poses changed → re-gather remaining candidates
-            if not progressed:
-                break
+                with self.timer.stage("loop_coarse"):
+                    coarse_all = self._match_chains(
+                        self.loop_matcher, rec, [c for c, _ in cands],
+                        rec.corrected_pose, do_penalize=False, do_fine=False,
+                    )
+                progressed = False
+                for (chain, nxt), coarse in zip(cands, coarse_all):
+                    start = nxt
+                    if self._attempt_loop_closure(rec, chain, coarse):
+                        closed = True
+                        progressed = True
+                        break  # poses changed → re-gather candidates
+                if not progressed:
+                    break
         return closed
 
     def _attempt_loop_closure(

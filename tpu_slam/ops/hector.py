@@ -195,7 +195,11 @@ def sampling_covariance(
         jnp.broadcast_to(pts_map, sig.shape[:-1] + pts_map.shape[-2:]),
         jnp.broadcast_to(valid, sig.shape[:-1] + valid.shape[-1:]),
     )  # (..., 7)
-    wn = lh / jnp.sum(lh, axis=-1, keepdims=True)
+    # all-zero likelihoods (pose entirely off-map / unseen cells) → uniform
+    # weights instead of the reference's 1/0 (a finite, large covariance
+    # beats silently propagating NaN)
+    tot = jnp.sum(lh, axis=-1, keepdims=True)
+    wn = jnp.where(tot > 0.0, lh / jnp.where(tot > 0.0, tot, 1.0), 1.0 / 7.0)
     mean = jnp.sum(wn[..., None] * sig, axis=-2)
     d = sig - mean[..., None, :]
     return jnp.einsum(

@@ -34,6 +34,7 @@ def save_karto(slam: "KartoSLAM", path: str) -> None:
         edge_j=np.asarray([e[1] for e in edges], np.int32),
         edge_mean=np.stack([e[2] for e in edges]) if edges else np.zeros((0, 3)),
         edge_info=np.stack([e[3] for e in edges]) if edges else np.zeros((0, 3, 3)),
+        times=np.asarray([r.time for r in recs], np.float64),
         meta=np.frombuffer(
             json.dumps(
                 {
@@ -70,7 +71,24 @@ def load_karto(slam: "KartoSLAM", path: str) -> None:
 
     z = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(z["meta"]).decode())
+    T = z["pts"].shape[0]
+    if "sensors" not in meta:
+        # legacy single-sensor snapshot (pre multi-sensor format): map the
+        # old top-level running/last_scan_id onto one default sensor
+        meta["default_sensor"] = "laser0"
+        meta["scan_sensors"] = ["laser0"] * T
+        meta["last_processed"] = meta.get("last_scan_id")
+        rig = slam.sensors[slam.default_sensor].laser
+        meta["sensors"] = {
+            "laser0": {
+                "offset": list(rig.offset),
+                "inverted": rig.inverted,
+                "running": [int(i) for i in z["running"]],
+                "last_scan_id": meta.get("last_scan_id"),
+            }
+        }
     sensors = meta["scan_sensors"]
+    times = z["times"] if "times" in z.files else np.zeros(T)
     slam.scans = [
         ScanRecord(
             state_id=i,
@@ -79,9 +97,10 @@ def load_karto(slam: "KartoSLAM", path: str) -> None:
             bary_local=z["bary"][i],
             odom_pose=z["odom"][i],
             corrected_pose=z["corrected"][i],
+            time=float(times[i]),
             sensor=sensors[i],
         )
-        for i in range(z["pts"].shape[0])
+        for i in range(T)
     ]
     slam.default_sensor = meta["default_sensor"]
     slam.sensors = {}
