@@ -92,6 +92,38 @@ def test_karto_loop_closure_improves(loop_setup):
     assert ate < 0.2, ate
 
 
+def test_karto_multi_sensor_loop_closure(loop_setup):
+    """TryCloseLoop runs against EVERY registered sensor's scan list
+    (Mapper.cpp:2064-2069): with two identical lasers fed alternately
+    around the corridor loop, each sensor's candidate chains are half as
+    dense, but cross-sensor closures must still trigger and correct the
+    drift."""
+    import jax
+
+    from tpu_slam.models.karto.pipeline import LaserRig
+
+    cfg, scans, seq, odom = loop_setup
+    slam = KartoSLAM(cfg)
+    slam.register_laser("laser1", LaserRig())
+    scans_np = jax.tree_util.tree_map(np.asarray, scans)
+    from tpu_slam.data.scan import index_scan
+
+    accepted = []
+    for t in range(scans_np.ranges.shape[0]):
+        name = "laser0" if t % 2 == 0 else "laser1"
+        if slam.process(index_scan(scans_np, t), odom[t], sensor=name):
+            accepted.append(t)
+    slam.flush()
+    assert slam.loop_closures >= 1, "no loop closures across sensors"
+    est = slam.trajectory()
+    gt = seq.gt_poses[accepted]
+    ate = ate_rmse(est, gt)
+    assert ate < 0.2, ate
+    # both sensors contributed scans
+    assert len(slam.sensors["laser0"].scan_ids) > 20
+    assert len(slam.sensors["laser1"].scan_ids) > 20
+
+
 def test_karto_async_loop_closure_matches_sync(loop_setup):
     """Pipeline-parallel back-end: corrections dispatched asynchronously and
     propagated chain-consistently must land within a few cm of the inline
