@@ -310,3 +310,39 @@ def test_karto_laser_rig_offset_equivariance(loop_setup):
     ).min(axis=1)
     # every rigged occupied cell has a plain occupied cell within 2 cells
     assert np.quantile(d, 0.95) <= 2 * g_plain.resolution + 1e-9
+
+
+def test_device_scan_store_path_matches_data_path(loop_setup):
+    """The index-addressed device-store match (match_chains_store) must be
+    bit-identical to the data-carrying match on the same chains."""
+    import jax
+
+    cfg, scans, seq, odom = loop_setup
+    slam = KartoSLAM(cfg)
+    sub = jax.tree_util.tree_map(lambda a: a[:40], scans)
+    slam.run(sub, odom[:40])
+    st = slam.sensors["laser0"]
+    assert st.last_scan_id is not None
+    rec = slam.scans[st.last_scan_id]
+    chains = [st.scan_ids[:-1], st.scan_ids[: len(st.scan_ids) // 2]]
+    center = np.asarray(rec.corrected_pose, np.float32)
+
+    poses, pts, valid, lv = slam._chain_batch_inputs(chains)
+    a = slam.front_matcher.match_chains(
+        poses, pts, valid, rec.pts_laser, rec.beam_valid, center,
+        lane_valid=lv,
+    )
+    store = slam._stores[rec.pts_laser.shape[0]]
+    poses2, idx, lv2 = slam._chain_batch_indices(chains)
+    np.testing.assert_array_equal(poses, poses2)
+    b = slam.front_matcher.match_chains_store(
+        store.pts, store.valid, idx, poses2, rec.pts_laser,
+        rec.beam_valid, center, lane_valid=lv2,
+    )
+    np.testing.assert_array_equal(np.asarray(a.pose), np.asarray(b.pose))
+    np.testing.assert_array_equal(
+        np.asarray(a.response), np.asarray(b.response)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.covariance), np.asarray(b.covariance)
+    )

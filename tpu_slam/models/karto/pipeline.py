@@ -24,9 +24,12 @@ search, matching, LM solve) is a fixed-shape jitted device program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from collections import deque
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tpu_slam.config import SLAMConfig
@@ -96,6 +99,44 @@ class SensorState:
     last_scan_id: int | None = None
 
 
+class DeviceScanStore:
+    """Device-resident store of immutable laser-frame scan points.
+
+    Scan POINTS never change after acceptance (only poses do), so they
+    upload to the device exactly once; matchers address them by row index
+    (CorrelativeMatcher.match_chains_store), shrinking the per-match
+    host→device transfer from the chains' full point data (MBs) to a few KB
+    of indices + poses. Capacity grows in ×4 steps so executable shapes
+    stay few."""
+
+    def __init__(self, n_beams: int, init_cap: int = 512):
+        self.n_beams = n_beams
+        self.count = 0
+        self.pts = jnp.zeros((init_cap, n_beams, 2), jnp.float32)
+        self.valid = jnp.zeros((init_cap, n_beams), bool)
+
+    def append(self, pts: np.ndarray, valid: np.ndarray) -> int:
+        cap = self.pts.shape[0]
+        if self.count == cap:
+            grow = 3 * cap
+            self.pts = jnp.concatenate(
+                [self.pts, jnp.zeros((grow, self.n_beams, 2), jnp.float32)]
+            )
+            self.valid = jnp.concatenate(
+                [self.valid, jnp.zeros((grow, self.n_beams), bool)]
+            )
+        i = self.count
+        self.pts = _store_set(self.pts, i, jnp.asarray(pts, jnp.float32))
+        self.valid = _store_set(self.valid, i, jnp.asarray(valid))
+        self.count += 1
+        return i
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _store_set(arr, i, row):
+    return jax.lax.dynamic_update_index_in_dim(arr, row, i, 0)
+
+
 @dataclasses.dataclass
 class ScanRecord:
     """LocalizedRangeScan analogue (Karto.h:5171-5470): laser-frame points
@@ -110,6 +151,7 @@ class ScanRecord:
     time: float = 0.0  # scan timestamp, seconds (GetTime)
     sensor: str = "laser0"  # GetSensorName (Karto.h:5208)
     seq: int = 0  # per-sensor StateId (per-sensor scan-list index)
+    store_row: int = -1  # row in the DeviceScanStore for this beam count
 
     def reference_position(self, use_barycenter: bool) -> np.ndarray:
         """GetReferencePose (Karto.h:5280-5299)."""
@@ -202,6 +244,9 @@ class KartoSLAM:
         self.scans: list[ScanRecord] = []
         self.adjacency: dict[int, set[int]] = {}
         self._last_processed: int | None = None  # across all sensors
+        # one device-resident point store per beam count (mixed-N chain
+        # groups fall back to the data-carrying path)
+        self._stores: dict[int, DeviceScanStore] = {}
         self.loop_closures = 0
         self._base_buckets = {}
         # MapperListener analogue (Mapper.h:35-83): loop-closure decisions
@@ -344,22 +389,57 @@ class KartoSLAM:
     ) -> list[MatchResult]:
         """Match ``rec`` against every chain — ONE device dispatch + ONE
         host sync per group of ≤4 chains (the reference runs one sequential
-        MatchScan per chain, Mapper.cpp:902-973 / :976-1051)."""
+        MatchScan per chain, Mapper.cpp:902-973 / :976-1051). Chain point
+        data is addressed from the device-resident store by row index
+        whenever the group's scans share one beam count; only indices +
+        poses cross the host↔device link."""
         out = []
+        ns = {self.scans[i].pts_laser.shape[0] for c in chains for i in c}
+        store = self._stores.get(next(iter(ns))) if len(ns) == 1 else None
+        if store is not None and any(
+            self.scans[i].store_row < 0 for c in chains for i in c
+        ):
+            store = None  # restored-from-checkpoint records, not uploaded
         for g0 in range(0, len(chains), 4):
             grp = chains[g0 : g0 + 4]
-            poses, pts, valid, lane_valid = self._chain_batch_inputs(grp)
-            r = matcher.match_chains(
-                poses, pts, valid, rec.pts_laser, rec.beam_valid,
-                np.asarray(center_pose, np.float32),
-                do_penalize=do_penalize, do_fine=do_fine,
-                lane_valid=lane_valid,
-            )
+            if store is not None:
+                poses, idx, lane_valid = self._chain_batch_indices(grp)
+                r = matcher.match_chains_store(
+                    store.pts, store.valid, idx, poses,
+                    rec.pts_laser, rec.beam_valid,
+                    np.asarray(center_pose, np.float32),
+                    do_penalize=do_penalize, do_fine=do_fine,
+                    lane_valid=lane_valid,
+                )
+            else:
+                poses, pts, valid, lane_valid = self._chain_batch_inputs(grp)
+                r = matcher.match_chains(
+                    poses, pts, valid, rec.pts_laser, rec.beam_valid,
+                    np.asarray(center_pose, np.float32),
+                    do_penalize=do_penalize, do_fine=do_fine,
+                    lane_valid=lane_valid,
+                )
             for k in range(len(grp)):
                 out.append(
                     MatchResult(r.pose[k], r.response[k], r.covariance[k])
                 )
         return out
+
+    def _chain_batch_indices(self, chains: list[list[int]]):
+        """Store-row form of _chain_batch_inputs: (C, S) row indices
+        (−1 = padded) + (C, S, 3) poses."""
+        cap_c = {1: 1, 2: 2}.get(len(chains), 4)
+        cap_s = self._bucket(max(len(c) for c in chains))
+        poses = np.zeros((cap_c, cap_s, 3), np.float32)
+        idx = np.full((cap_c, cap_s), -1, np.int32)
+        lane_valid = np.zeros(cap_c, bool)
+        for k, chain in enumerate(chains):
+            lane_valid[k] = True
+            for j, i in enumerate(chain):
+                r = self.scans[i]
+                poses[k, j] = r.corrected_pose
+                idx[k, j] = r.store_row
+        return poses, idx, lane_valid
 
     def _match(
         self, matcher: CorrelativeMatcher, rec: ScanRecord, ids: list[int],
@@ -789,6 +869,11 @@ class KartoSLAM:
         rec.seq = len(st.scan_ids)
         self.scans.append(rec)
         st.scan_ids.append(rec.state_id)
+        # upload the immutable points to the device store exactly once
+        nb = rec.pts_laser.shape[0]
+        if nb not in self._stores:
+            self._stores[nb] = DeviceScanStore(nb)
+        rec.store_row = self._stores[nb].append(rec.pts_laser, rec.beam_valid)
         self.solver.add_node(rec.state_id, rec.corrected_pose)
         if self.cfg.karto.use_scan_matching:
             with self.timer.stage("add_edges"):

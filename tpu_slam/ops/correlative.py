@@ -717,6 +717,130 @@ class CorrelativeMatcher:
             self._full_cache[key] = jax.jit(packed)
         return self._full_cache[key]
 
+    def _full_chains_store(
+        self, n_chains: int, n_scans: int, n_beams: int,
+        cap: tuple,  # (store rows, store beam count)
+        angle_offset: float, do_penalize: bool, do_fine: bool,
+    ):
+        """Index-addressed variant of _full_chains: base-scan points live in
+        a DEVICE-RESIDENT store (cap, N, 2)+(cap, N) and chains arrive as
+        row indices, so the per-call host→device transfer is KBs instead of
+        the chains' full point data (a 4-chain × 512-scan loop group is
+        ~4.4 MB ≈ 130 ms over a remote tunnel link; scan points are
+        immutable — only poses change — so they upload exactly once, when
+        the scan is accepted)."""
+        C, S, N = n_chains, n_scans, n_beams
+        # N is the QUERY scan's beam count; the store's own (cap, N_store)
+        # shape keys the executable via cap + store_beams
+        key = ("chains_store", C, S, N, cap, angle_offset, do_penalize,
+               do_fine)
+        if key not in self._full_cache:
+            budget = max(2_000_000, 64_000_000 // n_chains)
+            core = self._match_fn(
+                angle_offset, do_penalize, do_fine, element_budget=budget
+            )
+
+            def one(store_pts, store_valid, base_poses, idx, member,
+                    pts, bvalid, pose):
+                bp = store_pts[idx]  # (S, N, 2) gather from the store
+                bv = store_valid[idx] & member[:, None]
+                wp = geo.apply(base_poses[:, None, :], bp)
+                keep = jax.vmap(find_valid_points, in_axes=(0, 0, None))(
+                    wp, bv, pose[:2]
+                )
+                r = core(
+                    wp.reshape(-1, 2), keep.reshape(-1), pts, bvalid, pose
+                )
+                return jnp.concatenate(
+                    [r.pose, r.response[None], r.covariance.reshape(9)]
+                )
+
+            def packed(store_pts, store_valid, buf):
+                o = 0
+                poses = buf[o : o + C * S * 3].reshape(C, S, 3)
+                o += C * S * 3
+                idxf = buf[o : o + C * S].reshape(C, S)
+                o += C * S
+                spts = buf[o : o + N * 2].reshape(N, 2)
+                o += N * 2
+                svalid = buf[o : o + N] > 0.5
+                o += N
+                spose = buf[o : o + 3]
+                member = idxf >= -0.5  # padded members carry idx −1
+                idx = jnp.clip(idxf.astype(jnp.int32), 0, cap[0] - 1)
+                return jnp.stack(
+                    [
+                        one(store_pts, store_valid, poses[k], idx[k],
+                            member[k], spts, svalid, spose)
+                        for k in range(C)
+                    ]
+                )
+
+            self._full_cache[key] = jax.jit(packed)
+        return self._full_cache[key]
+
+    def match_chains_store(
+        self,
+        store_pts: jax.Array,  # (cap, N, 2) device-resident laser points
+        store_valid: jax.Array,  # (cap, N)
+        chain_idx: np.ndarray,  # (C, S) store rows; −1 = padded member
+        base_poses: np.ndarray,  # (C, S, 3) corrected sensor poses
+        scan_pts_laser: np.ndarray,
+        beam_valid: np.ndarray,
+        scan_pose: np.ndarray,
+        do_penalize: bool = True,
+        do_fine: bool = True,
+        lane_valid: np.ndarray | None = None,
+    ) -> MatchResult:
+        """match_chains against the device-resident store: identical
+        semantics, only chain INDICES cross the link."""
+        p = self.p
+        C, S = (int(d) for d in np.shape(chain_idx))
+        N = int(scan_pts_laser.shape[-2])
+        # cap + store beam count key the executable alongside the query N
+        cap = (int(store_pts.shape[0]), int(store_pts.shape[1]))
+
+        def pack(bp, ci):
+            return np.concatenate(
+                [
+                    np.asarray(bp, np.float32).ravel(),
+                    np.asarray(ci, np.float32).ravel(),
+                    np.asarray(scan_pts_laser, np.float32).ravel(),
+                    np.asarray(beam_valid, np.float32).ravel(),
+                    np.asarray(scan_pose, np.float32).ravel(),
+                ]
+            )
+
+        out = np.asarray(
+            self._full_chains_store(
+                C, S, N, cap, p.angle_offset, do_penalize, do_fine
+            )(store_pts, store_valid, pack(base_poses, chain_idx))
+        )
+        poses = out[:, :3].astype(np.float64)
+        resps = out[:, 3].copy()
+        covs = out[:, 4:].reshape(C, 3, 3).astype(np.float64)
+        if self.use_response_expansion:
+            lanes = np.ones(C, bool) if lane_valid is None else np.asarray(
+                lane_valid, bool
+            )
+            for k in np.nonzero(lanes & (resps < KT_TOLERANCE))[0]:
+                buf1 = pack(base_poses[k : k + 1], chain_idx[k : k + 1])
+                angle_offset = p.angle_offset
+                for _ in range(3):  # rare path: widen per failing lane
+                    angle_offset += math.radians(20.0)
+                    o1 = np.asarray(
+                        self._full_chains_store(
+                            1, S, N, cap, round(angle_offset, 6),
+                            do_penalize, do_fine,
+                        )(store_pts, store_valid, buf1)
+                    )[0]
+                    if o1[3] >= KT_TOLERANCE:
+                        break
+                poses[k] = o1[:3]
+                resps[k] = o1[3]
+                covs[k] = o1[4:].reshape(3, 3)
+        return MatchResult(poses, resps, covs)
+
     @staticmethod
     def _pack_chain_buf(
         base_poses, base_pts_laser, base_valid, scan_pts_laser, beam_valid,
