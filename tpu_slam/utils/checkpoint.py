@@ -113,10 +113,19 @@ def load_karto(slam: "KartoSLAM", path: str) -> None:
             running=deque(int(i) for i in s["running"]),
             last_scan_id=s["last_scan_id"],
         )
-    for rec in slam.scans:  # rebuild per-sensor scan lists + seq
+    from tpu_slam.models.karto.pipeline import DeviceScanStore
+
+    slam._stores = {}
+    for rec in slam.scans:  # rebuild per-sensor scan lists + seq + store
         st = slam.sensors[rec.sensor]
         rec.seq = len(st.scan_ids)
         st.scan_ids.append(rec.state_id)
+        nb = rec.pts_laser.shape[0]
+        if nb not in slam._stores:
+            slam._stores[nb] = DeviceScanStore(nb)
+        rec.store_row = slam._stores[nb].append(
+            rec.pts_laser, rec.beam_valid
+        )
     slam.adjacency = {
         int(k): set(v) for k, v in meta["adjacency"].items()
     }
