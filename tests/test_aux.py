@@ -252,3 +252,19 @@ def test_map_io_roundtrip(tmp_path):
     # the PGM itself is a valid binary P5 with map_saver's palette
     with open(pgm, "rb") as f:
         assert f.read(2) == b"P5"
+
+
+def test_cli_smoke(tmp_path):
+    """python -m tpu_slam: the launch-file replacement runs a pipeline from
+    the simulator and writes a map_server-compatible map."""
+    from tpu_slam.cli import main
+
+    out = str(tmp_path / "m")
+    rc = main([
+        "karto", "--sim", "--sim-scans", "20", "--save-map", out,
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(out + ".pgm") and os.path.exists(out + ".yaml")
+    assert main(["odometry", "--sim", "--sim-scans", "10"]) == 0
