@@ -102,15 +102,21 @@ def _solve3(h00, h01, h02, h11, h12, h22, b0, b1, b2):
 def _round_tail(
     cfg, sx, sy, sv, px, py, pth, wx, wy,
     q1x, q1y, q1v, ax, ay, av, bx, by, bv, dmin, max_d2,
+    conv_in,
 ):
     """Shared per-round tail of the fused PL-ICP kernels: second-point
     selection (better adjacent beam), point-to-line residuals, CSM outlier
-    trimming, two frozen-correspondence GN steps, stats and the epsilon
-    convergence flag. Used by both the full-NN kernel below and the banded
-    kernel (ops/pallas/plicp_band.py) so their semantics match exactly.
+    trimming, two frozen-correspondence GN steps, stats and PER-PAIR
+    epsilon convergence. Used by both correspondence kernels so their
+    semantics match exactly.
+
+    conv_in (P, 1) bool: pairs that already hit their epsilons — their
+    pose and stats FREEZE, exactly CSM's per-call `sm_icp` termination
+    (each scan pair stops at its own epsilon instead of riding along with
+    the rest of the batch).
 
     Inputs are (P, N) tiles; returns (px2, py2, pth2, mean_err, n_inl,
-    h_flat (P, 6), conv scalar bool).
+    h_flat (P, 6), conv_out (P, 1) bool).
     """
     dtype = sx.dtype
 
@@ -188,19 +194,22 @@ def _round_tail(
     mean_err = jnp.sum(w * err, axis=1, keepdims=True) / wsum
     n_inl = jnp.sum(w, axis=1, keepdims=True)
     h_flat = jnp.concatenate(hs, axis=1)  # (P,6)
-    # CSM termination (sm_icp epsilon_xy/epsilon_theta): once EVERY
-    # pair's full-round step is under the epsilons, further rounds
-    # are no-ops within tolerance — stop the whole program early.
+    # CSM termination (sm_icp epsilon_xy/epsilon_theta), per pair: a pair
+    # whose full-round step is under the epsilons is converged and frozen.
     # Padded pairs have no valid beams → zero steps → converged.
     step_x = jnp.abs(d0 + e0)
     step_y = jnp.abs(d1 + e1)
     step_t = jnp.abs(dth + eth)
-    conv = jnp.all(
+    conv_out = conv_in | (
         (step_x < cfg.epsilon_xy)
         & (step_y < cfg.epsilon_xy)
         & (step_t < cfg.epsilon_theta)
-    )
-    return px2, py2, pth2, mean_err, n_inl, h_flat, conv
+    )  # (P,1)
+    # freeze converged pairs (inputs px/py/pth/stats carried from last round)
+    px2 = jnp.where(conv_in, px, px2)
+    py2 = jnp.where(conv_in, py, py2)
+    pth2 = jnp.where(conv_in, pth, pth2)
+    return px2, py2, pth2, mean_err, n_inl, h_flat, conv_out
 
 
 def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
@@ -245,7 +254,7 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
         )
 
         def round_body(carry):
-            i, px, py, pth, _e, _ni, _h, _conv = carry
+            i, px, py, pth, pe, pni, ph, conv = carry
             c, s = jnp.cos(pth), jnp.sin(pth)  # (P,1)
             wx_s[...] = c * sx - s * sy + px  # (P,N) world src
             wy_s[...] = s * sx + c * sy + py
@@ -262,35 +271,42 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
                 wyc = wy_s[:, pl.ds(off, C)]
                 wn = wxc * wxc + wyc * wyc  # (P,C)
                 for p in range(P):
-                    # cross term on the MXU: one (2,C)ᵀ(2,M) contraction;
-                    # s ranks identically to d2 per row, dmin = min s + |w|²
-                    A = jnp.concatenate(
-                        [wxc[p : p + 1], wyc[p : p + 1]], axis=0
-                    )  # (2, C)
-                    cross = jax.lax.dot_general(
-                        A, rows_s[p, 0:2, :],
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=sx.dtype,
-                    )  # (C, M)
-                    s_ = tn_s[p][None, :] - 2.0 * cross
-                    sminc = jnp.min(s_, axis=1)  # (C,)
-                    idx = jnp.min(
-                        jnp.where(
-                            s_ <= sminc[:, None], cols2d, jnp.int32(m)
-                        ),
-                        axis=1,
-                    )  # (C,)
-                    dmin_s[p, pl.ds(off, C)] = sminc + wn[p]
-                    # all 9 gathers as ONE MXU matmul: the one-hot is built
-                    # TRANSPOSED (sublane iota == argmin broadcast) so
-                    # (9, M) @ (M, C) lands directly in gath_s layout with
-                    # no transpose. Each one-hot column selects a single
-                    # f32 value (×1.0 + zeros), so the gather is bit-exact.
-                    onehotT = (miota == idx[None, :]).astype(sx.dtype)
-                    gath_s[p, :, pl.ds(off, C)] = jnp.dot(
-                        rows_s[p], onehotT,
-                        preferred_element_type=sx.dtype,
-                    )
+                    # a converged pair's pose is frozen → its NN/gather
+                    # results are already in scratch from its last active
+                    # round; skip BOTH matmuls (the round's dominant cost)
+                    @pl.when(conv[p, 0] < 0.5)
+                    def _():
+                        # cross term on the MXU: one (2,C)ᵀ(2,M)
+                        # contraction; s ranks identically to d2 per row,
+                        # dmin = min s + |w|²
+                        A = jnp.concatenate(
+                            [wxc[p : p + 1], wyc[p : p + 1]], axis=0
+                        )  # (2, C)
+                        cross = jax.lax.dot_general(
+                            A, rows_s[p, 0:2, :],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=sx.dtype,
+                        )  # (C, M)
+                        s_ = tn_s[p][None, :] - 2.0 * cross
+                        sminc = jnp.min(s_, axis=1)  # (C,)
+                        idx = jnp.min(
+                            jnp.where(
+                                s_ <= sminc[:, None], cols2d, jnp.int32(m)
+                            ),
+                            axis=1,
+                        )  # (C,)
+                        dmin_s[p, pl.ds(off, C)] = sminc + wn[p]
+                        # all 9 gathers as ONE MXU matmul: the one-hot is
+                        # built TRANSPOSED (sublane iota == argmin
+                        # broadcast) so (9, M) @ (M, C) lands directly in
+                        # gath_s layout with no transpose. Each one-hot
+                        # column selects a single f32 value (×1.0 + zeros),
+                        # so the gather is bit-exact.
+                        onehotT = (miota == idx[None, :]).astype(sx.dtype)
+                        gath_s[p, :, pl.ds(off, C)] = jnp.dot(
+                            rows_s[p], onehotT,
+                            preferred_element_type=sx.dtype,
+                        )
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, corr_chunk, 0)
@@ -308,28 +324,38 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
             by = gath_s[:, 7, :]
             bv = gath_s[:, 8, :]
 
-            px2, py2, pth2, mean_err, n_inl, h_flat, conv = _round_tail(
+            conv_b = conv > 0.5
+            px2, py2, pth2, mean_err, n_inl, h_flat, conv_out = _round_tail(
                 cfg, sx, sy, sv, px, py, pth, wx, wy,
                 q1x, q1y, q1v, ax, ay, av, bx, by, bv, dmin, max_d2,
+                conv_b,
             )
-            return i + 1, px2, py2, pth2, mean_err, n_inl, h_flat, conv
+            # freeze converged pairs' stats alongside their pose
+            mean_err = jnp.where(conv_b, pe, mean_err)
+            n_inl = jnp.where(conv_b, pni, n_inl)
+            h_flat = jnp.where(conv_b, ph, h_flat)
+            return (i + 1, px2, py2, pth2, mean_err, n_inl, h_flat,
+                    conv_out.astype(sx.dtype))
 
         zero1 = jnp.zeros((P, 1), sx.dtype)
         carry0 = (
             jnp.int32(0),
             init_ref[:, 0:1], init_ref[:, 1:2], init_ref[:, 2:3],
             zero1, zero1, jnp.zeros((P, 6), sx.dtype),
-            jnp.bool_(False),
+            jnp.zeros((P, 1), sx.dtype),  # conv flags as float: Mosaic
+            # cannot squeeze scalar bools for the per-pair pl.when predicate
         )
-        _, px, py, pth, err, ninl, hs, _ = jax.lax.while_loop(
-            lambda cr: (cr[0] < n_rounds) & ~cr[-1], round_body, carry0
+        _, px, py, pth, err, ninl, hs, cv = jax.lax.while_loop(
+            lambda cr: (cr[0] < n_rounds) & (jnp.min(cr[-1]) < 0.5),
+            round_body, carry0,
         )
         pose_ref[:, 0:1] = px
         pose_ref[:, 1:2] = py
         pose_ref[:, 2:3] = pth
         stats_ref[:, 0:1] = err
         stats_ref[:, 1:2] = ninl
-        stats_ref[:, 2:4] = jnp.zeros((P, 2), sx.dtype)
+        stats_ref[:, 2:3] = cv
+        stats_ref[:, 3:4] = jnp.zeros((P, 1), sx.dtype)
         # symmetric H packed (upper triangle + mirrored)
         H_ref[:, 0:1] = hs[:, 0:1]
         H_ref[:, 1:2] = hs[:, 1:2]
@@ -381,7 +407,7 @@ def _make_kernel_bcast(cfg: PLICPConfig, n: int, m: int, chunk: int):
         kiota = jax.lax.broadcasted_iota(jnp.int32, (P, C, m), 2)
 
         def round_body(carry):
-            i, px, py, pth, _e, _ni, _h, _conv = carry
+            i, px, py, pth, pe, pni, ph, conv = carry
             c, s = jnp.cos(pth), jnp.sin(pth)  # (P,1)
             wx_s[...] = c * sx - s * sy + px  # (P,N) world src
             wy_s[...] = s * sx + c * sy + py
@@ -420,31 +446,43 @@ def _make_kernel_bcast(cfg: PLICPConfig, n: int, m: int, chunk: int):
 
             jax.lax.fori_loop(0, n_chunks, corr_chunk, 0)
 
-            px2, py2, pth2, mean_err, n_inl, h_flat, conv = _round_tail(
+            conv_b = conv > 0.5
+            px2, py2, pth2, mean_err, n_inl, h_flat, conv_out = _round_tail(
                 cfg, sx, sy, sv, px, py, pth, wx_s[...], wy_s[...],
                 gath_s[:, 0, :], gath_s[:, 1, :], gath_s[:, 2, :],
                 gath_s[:, 3, :], gath_s[:, 4, :], gath_s[:, 5, :],
                 gath_s[:, 6, :], gath_s[:, 7, :], gath_s[:, 8, :],
                 dmin_s[...], max_d2,
+                conv_b,
             )
-            return i + 1, px2, py2, pth2, mean_err, n_inl, h_flat, conv
+            # freeze converged pairs' stats alongside their pose (their
+            # recomputed correspondences are identical — pose frozen — so
+            # results stay bit-identical to the skipping matmul kernel)
+            mean_err = jnp.where(conv_b, pe, mean_err)
+            n_inl = jnp.where(conv_b, pni, n_inl)
+            h_flat = jnp.where(conv_b, ph, h_flat)
+            return (i + 1, px2, py2, pth2, mean_err, n_inl, h_flat,
+                    conv_out.astype(sx.dtype))
 
         zero1 = jnp.zeros((P, 1), sx.dtype)
         carry0 = (
             jnp.int32(0),
             init_ref[:, 0:1], init_ref[:, 1:2], init_ref[:, 2:3],
             zero1, zero1, jnp.zeros((P, 6), sx.dtype),
-            jnp.bool_(False),
+            jnp.zeros((P, 1), sx.dtype),  # conv flags as float: Mosaic
+            # cannot squeeze scalar bools for the per-pair pl.when predicate
         )
-        _, px, py, pth, err, ninl, hs, _ = jax.lax.while_loop(
-            lambda cr: (cr[0] < n_rounds) & ~cr[-1], round_body, carry0
+        _, px, py, pth, err, ninl, hs, cv = jax.lax.while_loop(
+            lambda cr: (cr[0] < n_rounds) & (jnp.min(cr[-1]) < 0.5),
+            round_body, carry0,
         )
         pose_ref[:, 0:1] = px
         pose_ref[:, 1:2] = py
         pose_ref[:, 2:3] = pth
         stats_ref[:, 0:1] = err
         stats_ref[:, 1:2] = ninl
-        stats_ref[:, 2:4] = jnp.zeros((P, 2), sx.dtype)
+        stats_ref[:, 2:3] = cv
+        stats_ref[:, 3:4] = jnp.zeros((P, 1), sx.dtype)
         # symmetric H packed (upper triangle + mirrored)
         H_ref[:, 0:1] = hs[:, 0:1]
         H_ref[:, 1:2] = hs[:, 1:2]
@@ -473,8 +511,9 @@ def plicp_match_fused(
     corr: str = "auto",
 ):
     """Drop-in batched equivalent of ops/plicp.plicp_match (point-to-line
-    config). Returns the same PLICPResult fields (converged is False — the
-    fused loop does not track per-round deltas).
+    config). Returns the same PLICPResult fields, including per-pair
+    converged flags (CSM per-call termination: each pair freezes at its own
+    epsilon and skips its correspondence matmuls thereafter).
 
     corr: correspondence strategy — "matmul" (per-pair MXU cross-term +
     one-hot gather matmuls) or "bcast" (direct (P,C,M) VPU broadcast
@@ -576,7 +615,7 @@ def plicp_match_fused(
             error=stats[:B, 0],
             num_inliers=stats[:B, 1].astype(jnp.int32),
             covariance=cov,
-            converged=jnp.zeros((B,), bool),
+            converged=stats[:B, 2] > 0.5,
         )
 
     # beam-adjacent shifted targets (j1±1 candidates), edges invalidated —
@@ -639,5 +678,5 @@ def plicp_match_fused(
         error=stats[:B, 0],
         num_inliers=stats[:B, 1].astype(jnp.int32),
         covariance=cov,
-        converged=jnp.zeros((B,), bool),
+        converged=stats[:B, 2] > 0.5,
     )

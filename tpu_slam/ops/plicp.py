@@ -149,7 +149,8 @@ def plicp_match(
     )
     tgt_valid = tgt_valid & jnp.all(jnp.isfinite(tgt_pts), axis=-1)
 
-    def round_fn(pose, _):
+    def round_fn(carry, _):
+        pose, conv, pe, pni, pH = carry
         src_w, q1, n, resid, gate = _correspondences(
             pose, src_pts, src_valid, tgt_pts, tgt_valid, cfg, p2l
         )
@@ -163,23 +164,38 @@ def plicp_match(
             jnp.sum(w, axis=-1), 1.0
         )
         step = delta + delta2
-        conv = (jnp.abs(step[..., 0]) < cfg.epsilon_xy) & (
-            jnp.abs(step[..., 1]) < cfg.epsilon_xy
-        ) & (jnp.abs(step[..., 2]) < cfg.epsilon_theta)
-        return pose2, (err, jnp.sum(w > 0, axis=-1), H, conv)
+        # per-pair termination (CSM sm_icp: each call stops at its own
+        # epsilons): converged pairs freeze pose and stats
+        pose2 = jnp.where(conv[..., None], pose, pose2)
+        err = jnp.where(conv, pe, err)
+        ninl = jnp.where(conv, pni, jnp.sum(w > 0, axis=-1))
+        H = jnp.where(conv[..., None, None], pH, H)
+        conv = conv | (
+            (jnp.abs(step[..., 0]) < cfg.epsilon_xy)
+            & (jnp.abs(step[..., 1]) < cfg.epsilon_xy)
+            & (jnp.abs(step[..., 2]) < cfg.epsilon_theta)
+        )
+        return (pose2, conv, err, ninl, H), None
 
-    pose, (errs, ns, Hs, convs) = jax.lax.scan(
-        round_fn, init_pose, None, length=cfg.max_iterations
+    b = init_pose.shape[:-1]
+    carry0 = (
+        init_pose,
+        jnp.zeros(b, bool),
+        jnp.zeros(b, init_pose.dtype),
+        jnp.zeros(b, jnp.int32),
+        jnp.zeros(b + (3, 3), init_pose.dtype),
     )
-    H_last = jax.tree_util.tree_map(lambda x: x[-1], Hs)
+    (pose, convs, errs, ns, H_last), _ = jax.lax.scan(
+        round_fn, carry0, None, length=cfg.max_iterations
+    )
     # Censi-style covariance stand-in: σ² H⁻¹ (do_compute_covariance analogue)
     cov = cfg.sigma**2 * jnp.linalg.inv(
         H_last + 1e-6 * jnp.eye(3, dtype=pose.dtype)
     )
     return PLICPResult(
         pose=pose,
-        error=errs[-1],
-        num_inliers=ns[-1],
+        error=errs,
+        num_inliers=ns,
         covariance=cov,
-        converged=convs[-1],
+        converged=convs,
     )
