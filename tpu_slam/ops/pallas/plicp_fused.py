@@ -75,7 +75,11 @@ def _masked_quantile_search(err, gate_f, q):
         lo = jnp.where(take_lo, lo, mid)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, QUANTILE_ITERS, body, (lo0, hi0))
+    # statically unrolled: the loop state is two (P,1) scalars, and Mosaic
+    # loop-trip overhead at this size rivals the iteration's own work
+    lo, hi = jax.lax.fori_loop(
+        0, QUANTILE_ITERS, body, (lo0, hi0), unroll=True
+    )
     return hi  # (P,1) upper bound ≈ kth value
 
 
@@ -309,7 +313,10 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
                         )
                 return 0
 
-            jax.lax.fori_loop(0, n_chunks, corr_chunk, 0)
+            if n_chunks == 1:  # typical scans: no loop machinery at all
+                corr_chunk(0, 0)
+            else:
+                jax.lax.fori_loop(0, n_chunks, corr_chunk, 0)
 
             wx = wx_s[...]
             wy = wy_s[...]
@@ -444,7 +451,10 @@ def _make_kernel_bcast(cfg: PLICPConfig, n: int, m: int, chunk: int):
                 gath_s[:, 8, pl.ds(off, C)] = sel(tvb, ohp)
                 return 0
 
-            jax.lax.fori_loop(0, n_chunks, corr_chunk, 0)
+            if n_chunks == 1:  # typical scans: no loop machinery at all
+                corr_chunk(0, 0)
+            else:
+                jax.lax.fori_loop(0, n_chunks, corr_chunk, 0)
 
             conv_b = conv > 0.5
             px2, py2, pth2, mean_err, n_inl, h_flat, conv_out = _round_tail(
