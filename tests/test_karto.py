@@ -346,3 +346,19 @@ def test_device_scan_store_path_matches_data_path(loop_setup):
     np.testing.assert_array_equal(
         np.asarray(a.covariance), np.asarray(b.covariance)
     )
+
+
+def test_device_scan_store_growth():
+    """DeviceScanStore capacity quadrupling preserves every stored row."""
+    from tpu_slam.models.karto.pipeline import DeviceScanStore
+
+    st = DeviceScanStore(64, init_cap=8)
+    rows = []
+    for i in range(40):  # forces two growths (8 → 32 → 128)
+        pts = np.full((64, 2), float(i), np.float32)
+        valid = (np.arange(64) % (i + 1)) == 0
+        rows.append((st.append(pts, valid), pts, valid))
+    assert st.pts.shape[0] == 128 and st.count == 40
+    for r, pts, valid in rows:
+        np.testing.assert_array_equal(np.asarray(st.pts[r]), pts)
+        np.testing.assert_array_equal(np.asarray(st.valid[r]), valid)
