@@ -154,27 +154,33 @@ def _round_tail(
     thr = jnp.minimum(thr_perc, jnp.maximum(thr_adap, 1e-6))
     w = gate * (err <= thr + 1e-12).astype(dtype)  # (P,N)
 
-    def gn(px, py, wx, wy):
-        # J = [n_x, n_y, nᵀ·perp(R p)] with rp = world − t
+    # pose-independent pieces of the GN normal equations: h00/h01/h11 and
+    # the inlier count depend only on (w, n) — shared by BOTH inner steps
+    wn = w
+    wnx = wn * nx_
+    h00 = jnp.sum(wnx * nx_, axis=1, keepdims=True)
+    h01 = jnp.sum(wnx * ny_, axis=1, keepdims=True)
+    h11 = jnp.sum(wn * ny_ * ny_, axis=1, keepdims=True)
+    wsum = jnp.sum(wn, axis=1, keepdims=True)
+    nok = (wsum >= 3.0).astype(dtype)
+
+    def gn(px, py, wx, wy, r):
+        # J = [n_x, n_y, nᵀ·perp(R p)] with rp = world − t; r is the
+        # point-to-line residual at (wx, wy) (resid for the first step)
         rpx = wx - px
         rpy = wy - py
         jth = nx_ * (-rpy) + ny_ * rpx
-        r = nx_ * (wx - q1x) + ny_ * (wy - q1y)
-        wn = w
-        h00 = jnp.sum(wn * nx_ * nx_, axis=1, keepdims=True)
-        h01 = jnp.sum(wn * nx_ * ny_, axis=1, keepdims=True)
-        h02 = jnp.sum(wn * nx_ * jth, axis=1, keepdims=True)
-        h11 = jnp.sum(wn * ny_ * ny_, axis=1, keepdims=True)
+        wjth = wn * jth
+        h02 = jnp.sum(wnx * jth, axis=1, keepdims=True)
         h12 = jnp.sum(wn * ny_ * jth, axis=1, keepdims=True)
-        h22 = jnp.sum(wn * jth * jth, axis=1, keepdims=True)
-        b0 = -jnp.sum(wn * nx_ * r, axis=1, keepdims=True)
+        h22 = jnp.sum(wjth * jth, axis=1, keepdims=True)
+        b0 = -jnp.sum(wnx * r, axis=1, keepdims=True)
         b1 = -jnp.sum(wn * ny_ * r, axis=1, keepdims=True)
-        b2 = -jnp.sum(wn * jth * r, axis=1, keepdims=True)
+        b2 = -jnp.sum(wjth * r, axis=1, keepdims=True)
         d0, d1, d2_ = _solve3(
             h00 + 1e-9, h01, h02, h11 + 1e-9, h12, h22 + 1e-9,
             b0, b1, b2,
         )
-        nok = (jnp.sum(wn, axis=1, keepdims=True) >= 3.0).astype(dtype)
         fin = (
             jnp.isfinite(d0) & jnp.isfinite(d1) & jnp.isfinite(d2_)
         ).astype(dtype)
@@ -183,20 +189,23 @@ def _round_tail(
             h00, h01, h02, h11, h12, h22
         )
 
-    # two inner GN steps with frozen correspondences (ops/plicp.py)
-    d0, d1, dth = gn(px, py, wx, wy)[:3]
+    # two inner GN steps with frozen correspondences (ops/plicp.py);
+    # the first step's residual is exactly `resid` from the trim stage
+    d0, d1, dth = gn(px, py, wx, wy, resid)[:3]
     px1, py1 = px + d0, py + d1
     pth1 = _norm_angle(pth + dth)
     c1, s1 = jnp.cos(pth1), jnp.sin(pth1)
     wx1 = c1 * sx - s1 * sy + px1
     wy1 = s1 * sx + c1 * sy + py1
-    e0, e1, eth, hs = gn(px1, py1, wx1, wy1)
+    r1 = nx_ * (wx1 - q1x) + ny_ * (wy1 - q1y)
+    e0, e1, eth, hs = gn(px1, py1, wx1, wy1, r1)
     px2, py2 = px1 + e0, py1 + e1
     pth2 = _norm_angle(pth1 + eth)
 
-    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
-    mean_err = jnp.sum(w * err, axis=1, keepdims=True) / wsum
-    n_inl = jnp.sum(w, axis=1, keepdims=True)
+    n_inl = wsum
+    mean_err = jnp.sum(w * err, axis=1, keepdims=True) / jnp.maximum(
+        wsum, 1.0
+    )
     h_flat = jnp.concatenate(hs, axis=1)  # (P,6)
     # CSM termination (sm_icp epsilon_xy/epsilon_theta), per pair: a pair
     # whose full-round step is under the epsilons is converged and frozen.
