@@ -130,6 +130,59 @@ def test_hector_fused_matches_xla(hector_seq):
     assert abs(err[0]) < 0.03 and abs(err[1]) < 0.03
 
 
+def test_hector_fused_windowed_matches_full(hector_seq):
+    """The pose-centered VMEM working window (max_range_m) must be
+    numerically identical to the full-grid fused kernel: every beam lies
+    within the sensor range of the pose, so the window sees the same
+    cells. Uses a 512-cell grid so the window is strictly smaller."""
+    from tpu_slam.models.hector_slam import HectorSLAM
+    from tpu_slam.ops import gridmap as gm
+    from tpu_slam.ops.pallas.hector_fused import (
+        _level_window, hector_match_fused,
+    )
+
+    cfg, scans, seq = hector_seq
+    cfg = dataclasses.replace(
+        cfg, hector=dataclasses.replace(cfg.hector, map_size=512)
+    )
+    slam = HectorSLAM(cfg)
+    for t in range(3):
+        slam.update_only(index_scan(scans, t), seq.gt_poses[t])
+
+    s = index_scan(scans, 4)
+    pts = jnp.where(s.valid[..., None], s.points(), 0.0)
+    guess = jnp.asarray(seq.gt_poses[4] + [0.04, -0.03, 0.02], jnp.float32)
+    # tight range bound: the largest actual beam distance (+ guess offset)
+    rmax = float(
+        np.max(np.asarray(s.ranges)[np.asarray(s.valid)])
+    ) + 0.25
+
+    grids2d = tuple(
+        gm.occupancy_prob(g).reshape(c.size_y, c.size_x)
+        for g, c in zip(slam.grids, slam.grid_cfgs)
+    )
+    assert any(
+        _level_window(c.size_y, c.size_x, float(c.resolution), rmax)
+        is not None
+        for c in slam.grid_cfgs
+    ), "test config too small to exercise the window path"
+
+    full_pose, full_H = hector_match_fused(
+        grids2d, tuple(slam.grid_cfgs), cfg.hector, guess, pts, s.valid,
+        interpret=True,
+    )
+    win_pose, win_H = hector_match_fused(
+        grids2d, tuple(slam.grid_cfgs), cfg.hector, guess, pts, s.valid,
+        interpret=True, max_range_m=rmax,
+    )
+    np.testing.assert_allclose(
+        np.asarray(win_pose), np.asarray(full_pose), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(win_H), np.asarray(full_H), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_hector_sampling_covariance(hector_seq):
     """Sampling-based sigma-point covariance (getCovarianceForPose,
     OccGridMapUtil.h:249-306): matches a direct numpy replica of the

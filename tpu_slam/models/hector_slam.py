@@ -92,7 +92,8 @@ class HectorSLAM:
                     for g, c in zip(grids, gcfgs)
                 )
                 return hector_match_fused(
-                    probs, gcfgs, hcfg, pose, pts, valid
+                    probs, gcfgs, hcfg, pose, pts, valid,
+                    max_range_m=float(cfg.scan.range_max),
                 )
         else:
 

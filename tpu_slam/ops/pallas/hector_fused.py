@@ -24,6 +24,7 @@ the two paths on identical inputs.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -57,9 +58,16 @@ def _solve3(h00, h01, h02, h11, h12, h22, b0, b1, b2):
     return d0 * ok, d1 * ok, d2 * ok
 
 
-def _make_kernel(levels, iters_fine, iters_coarse, max_rot_step, n_beams):
+def _make_kernel(
+    levels, iters_fine, iters_coarse, max_rot_step, n_beams, windows
+):
     """levels: list of (size_x, size_y, resolution, origin_x, origin_y),
-    index 0 = finest (matching runs len-1 → 0)."""
+    index 0 = finest (matching runs len-1 → 0). windows: per-level
+    (Wy, Wx) VMEM working window, or None for the full grid — all beams
+    lie within ``range_max`` of the pose, so a pose-centered window
+    bounds the one-hot gather matmuls by the SCAN extent instead of the
+    map extent (the reference touches only the cells a beam hits too —
+    the full-grid matmul was pure MXU waste)."""
     L = len(levels)
 
     def kernel(*refs):
@@ -79,18 +87,45 @@ def _make_kernel(levels, iters_fine, iters_coarse, max_rot_step, n_beams):
         for lvl in range(L - 1, -1, -1):
             size_x, size_y, res, ox, oy = levels[lvl]
             iters = (iters_fine if lvl == 0 else iters_coarse) + 1
-            grid = grid_refs[lvl][:]  # (size_y, size_x) occupancy prob
             inv_res = 1.0 / res
             ptsx = lx * inv_res  # (Np, 1) map units
             ptsy = ly * inv_res
             pmx = (pwx - ox) * inv_res
             pmy = (pwy - oy) * inv_res
 
+            if windows[lvl] is not None:
+                # pose-centered working window, fixed across this level's
+                # iterations (DRIFT_MARGIN covers the GN pose motion)
+                Wy, Wx = windows[lvl]
+                # tile-aligned base (Mosaic-safe dynamic slice); the window
+                # width carries the alignment slack, so coverage of
+                # pose ± (range + DRIFT_MARGIN) survives the align-down
+                yb = jnp.clip(
+                    jnp.floor(pmy[0, 0]).astype(jnp.int32) - Wy // 2,
+                    0, size_y - Wy,
+                ) // 8 * 8
+                if Wx < size_x:
+                    xb = jnp.clip(
+                        jnp.floor(pmx[0, 0]).astype(jnp.int32) - Wx // 2,
+                        0, size_x - Wx,
+                    ) // 128 * 128
+                    grid = grid_refs[lvl][pl.ds(yb, Wy), pl.ds(xb, Wx)]
+                else:
+                    # rows-only window: lane dim stays full + statically
+                    # indexed (no lane-dim dynamic slice)
+                    xb = jnp.int32(0)
+                    grid = grid_refs[lvl][pl.ds(yb, Wy), :]
+            else:
+                Wy, Wx = size_y, size_x
+                yb = jnp.int32(0)
+                xb = jnp.int32(0)
+                grid = grid_refs[lvl][:]  # (size_y, size_x) occupancy prob
+
             iota_y = jax.lax.broadcasted_iota(
-                jnp.int32, (n_beams, size_y), 1
+                jnp.int32, (n_beams, Wy), 1
             )
             iota_x = jax.lax.broadcasted_iota(
-                jnp.int32, (n_beams, size_x), 1
+                jnp.int32, (n_beams, Wx), 1
             )
 
             def body(_, carry):
@@ -113,9 +148,20 @@ def _make_kernel(levels, iters_fine, iters_coarse, max_rot_step, n_beams):
                 )
                 fx = xq - x0.astype(wx.dtype)
                 fy = yq - y0.astype(wx.dtype)
+                # window-relative cell indices; a beam outside the working
+                # window (possible only if GN diverged past DRIFT_MARGIN)
+                # gets an all-zero one-hot + inb gate = the same zero
+                # contribution as an out-of-map beam
+                y0 = y0 - yb
+                x0 = x0 - xb
+                if windows[lvl] is not None:
+                    inb = inb * (
+                        (x0 >= 0) & (x0 + 1 <= Wx - 1)
+                        & (y0 >= 0) & (y0 + 1 <= Wy - 1)
+                    ).astype(wx.dtype)
 
                 # rows y0 / y0+1 for every beam: one-hot matmuls (MXU)
-                ohy0 = (iota_y == y0).astype(wx.dtype)  # (Np, size_y)
+                ohy0 = (iota_y == y0).astype(wx.dtype)  # (Np, Wy)
                 ohy1 = (iota_y == y0 + 1).astype(wx.dtype)
                 R0 = jnp.dot(
                     ohy0, grid, preferred_element_type=wx.dtype
@@ -196,8 +242,29 @@ def _make_kernel(levels, iters_fine, iters_coarse, max_rot_step, n_beams):
     return kernel
 
 
+DRIFT_MARGIN = 24  # cells of GN pose motion tolerated within one level
+
+
+def _level_window(size_y, size_x, res, max_range_m):
+    """Pose-centered working window (Wy, Wx) for one pyramid level, or
+    None when it wouldn't be smaller than the grid. All beams lie within
+    max_range of the pose, so a window of 2·(range+margin) cells bounds
+    every bilinear access; the window base is fixed at level entry and
+    DRIFT_MARGIN absorbs the pose motion of the level's GN iterations.
+    The base is aligned down to the TPU tile (8 sublanes / 128 lanes), so
+    the width carries one extra tile of slack to keep full coverage."""
+    if max_range_m is None:
+        return None
+    half = int(math.ceil(max_range_m / res)) + DRIFT_MARGIN + 2
+    Wy = min(size_y, -(-(2 * half + 16) // 8) * 8)
+    Wx = min(size_x, -(-(2 * half + 256) // 128) * 128)
+    if Wy >= size_y and Wx >= size_x:
+        return None
+    return (Wy, Wx)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("grid_cfgs", "hcfg", "interpret")
+    jax.jit, static_argnames=("grid_cfgs", "hcfg", "interpret", "max_range_m")
 )
 def hector_match_fused(
     prob_grids: tuple,
@@ -207,11 +274,15 @@ def hector_match_fused(
     pts_laser: jax.Array,  # (N, 2) laser-frame meters
     valid: jax.Array,  # (N,)
     interpret: bool = False,
+    max_range_m: float | None = None,
 ):
     """Drop-in fused equivalent of ops/hector.match_multires.
 
     prob_grids: per-level occupancy-prob grids shaped (size_y, size_x),
-    level 0 finest. Returns (pose_world (3,), H (3,3) of the finest level's
+    level 0 finest. max_range_m: sensor range bound — enables the
+    pose-centered gather window (identical results while the match stays
+    within DRIFT_MARGIN cells of the initial pose, i.e. always in
+    practice). Returns (pose_world (3,), H (3,3) of the finest level's
     last step)."""
     dtype = pts_laser.dtype
     N = pts_laser.shape[0]
@@ -228,9 +299,13 @@ def hector_match_fused(
          float(g.origin_x), float(g.origin_y))
         for g in grid_cfgs
     )
+    windows = tuple(
+        _level_window(g.size_y, g.size_x, float(g.resolution), max_range_m)
+        for g in grid_cfgs
+    )
     kern = _make_kernel(
         levels, hcfg.iterations_fine, hcfg.iterations_coarse,
-        float(hcfg.max_rot_step), Np,
+        float(hcfg.max_rot_step), Np, windows,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     pose, Hf = pl.pallas_call(
