@@ -144,3 +144,35 @@ def test_distributed_schur_matches_single():
     single = np.asarray(jax.jit(lambda *a: schur_delta(part, *a))(*args))
     dist = np.asarray(make_distributed_schur_delta(mesh, part)(*args))
     np.testing.assert_allclose(dist, single, atol=1e-4)
+
+
+def test_bucketed_partition_same_delta_and_stable_shapes():
+    """bucket_partition pads index maps to power-of-two widths: the delta is
+    unchanged (pad slots are identity/dropped) and the padded SHAPES stay
+    fixed as the graph grows within a bucket — the property that lets the
+    compiled LM program be reused across loop closures instead of paying a
+    fresh multi-second compile per closure."""
+    from tpu_slam.solver.schur import bucket_partition
+
+    part, args, ref, sch = _deltas(M=64, S=4)
+    bp = bucket_partition(part)
+    for name in ("int_nodes", "ii_edge", "is_edge", "sep_nodes", "ss_edge"):
+        w = getattr(bp, name).shape[-1]
+        assert w >= getattr(part, name).shape[-1]
+        assert w & (w - 1) == 0 or w == 16, (name, w)
+    sch_b = np.asarray(
+        jax.jit(lambda p, *a: schur_delta(p, *a))(bp, *args)
+    )
+    np.testing.assert_allclose(sch_b, sch, rtol=1e-4, atol=1e-5)
+
+    # two nearby graph sizes land in the same padded shapes
+    def shapes(M):
+        poses, ei, ej, means, infos, mask, free = ring_graph(M)
+        p = bucket_partition(build_partition(ei, ej, mask, M, 4))
+        return tuple(
+            np.asarray(getattr(p, n)).shape
+            for n in ("int_nodes", "ii_edge", "is_edge", "sep_nodes",
+                      "ss_edge")
+        )
+
+    assert shapes(56) == shapes(60)

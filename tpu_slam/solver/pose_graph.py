@@ -272,6 +272,9 @@ class SolveStats(NamedTuple):
     final_cost: float
 
 
+_LM_PROGRAM_CACHE: dict = {}
+
+
 class PoseGraphSolver:
     """Host-facing incremental graph with device-side batched solving.
 
@@ -288,7 +291,12 @@ class PoseGraphSolver:
         self._poses: list[np.ndarray] = []
         self._edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self._ids: dict[int, int] = {}  # external id → dense index
-        self._lm_cache: dict = {}  # shape key → compiled LM program
+        # shape key → jitted LM program. MODULE-level (shared by every
+        # solver instance): jax's jit cache keys on function identity, so
+        # per-instance wrappers would recompile identical programs whenever
+        # a fresh solver is built (e.g. the offline mapper rebuilds the
+        # graph per round)
+        self._lm_cache = _LM_PROGRAM_CACHE
 
     # --- ScanSolver surface -------------------------------------------------
     def add_node(self, node_id: int, pose) -> None:
@@ -374,12 +382,17 @@ class PoseGraphSolver:
 
         schur_part = None
         if cfg.use_schur and self.num_nodes > 2 * cfg.schur_submaps:
-            from tpu_slam.solver.schur import build_partition
+            from tpu_slam.solver.schur import (
+                bucket_partition, build_partition,
+            )
 
             # host-side partition of the current graph (data-dependent);
-            # the device LM loop below consumes its fixed-shape index maps
-            schur_part = build_partition(
-                ei, ej, mask, M, cfg.schur_submaps
+            # the device LM loop below consumes its fixed-shape index maps.
+            # Widths are bucketed so the compiled program is reused as the
+            # mission grows (a fresh shape = a multi-second tunnel compile
+            # per loop closure otherwise).
+            schur_part = bucket_partition(
+                build_partition(ei, ej, mask, M, cfg.schur_submaps)
             )
 
         # The entire doSPA LM loop (spa2d.cpp:455-607) runs as ONE device
@@ -391,6 +404,7 @@ class PoseGraphSolver:
         # graph content (edges, partition index maps) flows in as arguments.
         key = (
             M, E, use_dense, iters,
+            cfg.cg_iterations, cfg.cg_tolerance, self.dtype,
             None if schur_part is None else tuple(
                 a.shape for a in jax.tree_util.tree_leaves(schur_part)
             ),

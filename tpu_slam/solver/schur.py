@@ -226,6 +226,41 @@ def build_partition(
     )
 
 
+def bucket_partition(
+    part: SchurPartition, min_width: int = 16
+) -> SchurPartition:
+    """Pad every data-dependent partition width up to a power-of-two bucket.
+
+    `build_partition` pads to the exact max row length, so the padded shapes
+    change whenever the graph grows — and since the LM device program is
+    cached by shape, every loop closure of a growing mission would trigger
+    a fresh (multi-second through the axon tunnel) compile. Bucketing makes
+    the shapes step only at power-of-two crossings; pad slots carry index 0
+    + valid=False, exactly the convention the device program already
+    guards (identity gauge rows, `mode="drop"` scatters)."""
+
+    def _b(n: int) -> int:
+        b = min_width
+        while b < n:
+            b *= 2
+        return b
+
+    def pad_last(a: np.ndarray, fill=0) -> np.ndarray:
+        w = _b(a.shape[-1])
+        if w == a.shape[-1]:
+            return a
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, w - a.shape[-1])]
+        return np.pad(a, pad, constant_values=fill)
+
+    return dataclasses.replace(
+        part,
+        **{
+            name: pad_last(np.asarray(getattr(part, name)))
+            for name in _PART_ARRAY_FIELDS
+        },
+    )
+
+
 def _damped_diag(Hd, lam):
     eye3 = jnp.eye(3, dtype=Hd.dtype)
     Hd = Hd + 1e-12 * eye3
