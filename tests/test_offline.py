@@ -1,0 +1,122 @@
+"""Offline batch SLAM (models/offline.py): chain integration, multi-start
+loop matching, global optimization."""
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam import geometry as geo
+from tpu_slam.config import default_config
+from tpu_slam.data import simulator as sim
+from tpu_slam.data.scan import make_scan
+from tpu_slam.models.offline import _loop_candidates, offline_slam
+from tpu_slam.utils.evaluation import ate_rmse
+
+
+def test_compose_chain_matches_sequential():
+    rng = np.random.default_rng(0)
+    pose0 = jnp.asarray(rng.normal(0, 1, 3), jnp.float32)
+    rels = jnp.asarray(rng.normal(0, 0.3, (50, 3)), jnp.float32)
+    out = np.asarray(geo.compose_chain(pose0, rels))
+    ref = [np.asarray(pose0)]
+    for k in range(50):
+        ref.append(np.asarray(geo.compose(jnp.asarray(ref[-1]), rels[k])))
+    ref = np.stack(ref)
+    np.testing.assert_allclose(out[:, :2], ref[:, :2], atol=1e-4)
+    dth = np.arctan2(
+        np.sin(out[:, 2] - ref[:, 2]), np.cos(out[:, 2] - ref[:, 2])
+    )
+    np.testing.assert_allclose(dth, 0.0, atol=1e-5)
+
+
+def test_loop_candidates_gap_radius_nms():
+    # square path revisiting the origin
+    poses = np.zeros((100, 3))
+    poses[:, 0] = np.linspace(0, 10, 100)
+    poses[90:, 0] = np.linspace(0, 0.5, 10)  # jump back near start
+    cfg = default_config().offline
+    cfg = dataclasses.replace(cfg, loop_min_gap=40, loop_radius=1.0)
+    cands = _loop_candidates(poses, cfg, set())
+    assert cands, "revisit not detected"
+    for i, j in cands:
+        assert j - i >= 40
+        assert np.linalg.norm(poses[i, :2] - poses[j, :2]) <= 1.0
+    # NMS: no two candidates within the gap on both ends
+    for a in range(len(cands)):
+        for b in range(a + 1, len(cands)):
+            assert not (
+                abs(cands[a][0] - cands[b][0]) < cfg.loop_nms_gap
+                and abs(cands[a][1] - cands[b][1]) < cfg.loop_nms_gap
+            )
+
+
+def _corridor_mission():
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        scan=dataclasses.replace(
+            cfg.scan, num_beams=128, range_max=6.0, range_threshold=5.0
+        ),
+        offline=dataclasses.replace(
+            cfg.offline, max_candidates=6, seeds_xy=3, seeds_theta=3,
+            seed_xy=0.5, seed_theta=math.radians(12.0), rounds=2,
+            loop_min_gap=40,
+        ),
+    )
+    arm, width = 6.0, 2.2
+    m = (arm / 2 + (arm / 2 - width)) / 2
+    wps = np.array(
+        [[-m, -m], [m, -m], [m, m], [-m, m], [-m, -m], [0.0, -m]]
+    )
+    traj = sim.waypoint_trajectory(wps, speed=0.9, dt=0.1)
+    world = sim.corridor_loop_world(arm=arm, width=width)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, noise_std=0.004, seed=5)
+    scans = make_scan(seq.ranges, cfg.scan)
+    # drifting odometry guesses (the karto-example recipe)
+    rng = np.random.default_rng(3)
+    odom = [seq.gt_poses[0].copy()]
+    for i in range(1, len(seq.gt_poses)):
+        d = np.array(
+            geo.relative(
+                jnp.asarray(seq.gt_poses[i - 1]), jnp.asarray(seq.gt_poses[i])
+            )
+        )
+        d[:2] += rng.normal(0, 0.01, 2)
+        d[2] += rng.normal(0, 0.002)
+        odom.append(
+            np.asarray(geo.compose(jnp.asarray(odom[-1]), jnp.asarray(d)))
+        )
+    return cfg, scans, seq, np.asarray(odom)
+
+
+def test_offline_slam_corridor_loop():
+    """One corridor lap: the offline pipeline must find the start-revisit
+    loop closure and the optimized trajectory must beat the raw chain."""
+    cfg, scans, seq, odom = _corridor_mission()
+    res = offline_slam(scans, cfg, odom=odom)
+    T = len(seq.gt_poses)
+    assert res.poses.shape == (T, 3)
+    assert res.loops, "no loop closures accepted"
+    for e in res.loops:
+        assert e.j - e.i >= cfg.offline.loop_min_gap
+        assert e.error <= cfg.offline.max_mean_error
+        # the loop edge must agree with ground truth UNDER ITS OWN
+        # covariance: in corridor geometry a match may slide along the
+        # corridor axis, and the honest GN covariance must declare that
+        # direction uncertain (low Mahalanobis distance) while staying
+        # tight across the corridor
+        gt_rel = np.asarray(
+            geo.relative(
+                jnp.asarray(seq.gt_poses[e.i]), jnp.asarray(seq.gt_poses[e.j])
+            )
+        )
+        d = e.mean - gt_rel
+        d[2] = math.atan2(math.sin(d[2]), math.cos(d[2]))
+        chi2 = float(d @ np.linalg.inv(e.covariance) @ d)
+        assert chi2 < 25.0, (e.i, e.j, d, chi2)
+    ate_chain = ate_rmse(res.chain_poses, seq.gt_poses)
+    ate_opt = ate_rmse(res.poses, seq.gt_poses)
+    assert ate_opt < 0.08
+    assert ate_opt <= ate_chain + 1e-6

@@ -19,7 +19,10 @@ import time
 
 import numpy as np
 
-MODELS = ("odometry", "hector", "gmapping", "karto", "undistort", "features")
+MODELS = (
+    "odometry", "hector", "gmapping", "karto", "offline", "undistort",
+    "features",
+)
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -158,6 +161,30 @@ def main(argv=None) -> int:
 
             save_karto(slam, args.checkpoint)
             print(f"checkpoint saved to {args.checkpoint}")
+    elif args.model == "offline":
+        from tpu_slam.models.karto.occupancy import (
+            compute_grid_bounds, occupancy_from_scans,
+        )
+        from tpu_slam.models.offline import offline_slam
+
+        res = offline_slam(scans, cfg, odom=gt)
+        print(
+            f"{len(res.loops)} loop closures"
+            f" ({res.candidates_tried} candidates), "
+            f"{res.solver.num_edges} edges"
+        )
+        _report_traj(res.poses, gt)
+        grid_cfg = compute_grid_bounds(
+            res.poses, cfg.scan.range_threshold, cfg.grid.resolution
+        )
+        pts = np.where(
+            np.asarray(scans.valid)[..., None],
+            np.asarray(scans.points()), 0.0,
+        ).astype(np.float32)
+        ros_map = occupancy_from_scans(
+            grid_cfg, res.poses, pts, np.asarray(scans.valid),
+            cfg.scan.range_threshold,
+        )
     elif args.model == "undistort":
         print(
             "undistortion needs IMU/odom streams; see "

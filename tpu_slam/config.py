@@ -247,6 +247,48 @@ class UndistortConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class OfflineConfig:
+    """Offline batch SLAM (models/offline.py) — new vs reference.
+
+    The reference processes scans strictly sequentially (Mapper::Process per
+    scan callback); the offline mapper re-designs the same Karto-style
+    odometry→loop-closure→optimize pipeline as data-parallel device
+    programs over the WHOLE mission at once."""
+
+    loop_min_gap: int = 40  # scans between loop candidate endpoints
+    loop_radius: float = 2.0  # m pose distance for candidacy
+    loop_nms_gap: int = 10  # candidate thinning along both scan indices
+    max_candidates: int = 128  # per round
+    # seed lattice for the multi-start loop matching (brute-forcing the
+    # PL-ICP convergence basin with batch throughput)
+    seeds_xy: int = 3  # lattice points per translation axis
+    seed_xy: float = 0.6  # half-extent (m)
+    seeds_theta: int = 5
+    seed_theta: float = math.radians(15.0)
+    # acceptance gates on the best seed's match
+    max_mean_error: float = 0.05  # m, trimmed inlier residual (absolute cap)
+    # adaptive alias gate: a genuine loop match of the same sensor in the
+    # same world cannot be much worse than the mission's own consecutive
+    # matches, so the error gate self-calibrates to
+    # alias_error_mult x median(chain match error)
+    alias_error_mult: float = 2.0
+    min_inlier_frac: float = 0.6  # of the scan's valid beams
+    # systematic-error floor added to every match covariance: the GN
+    # covariance sigma^2 H^-1 is overconfident (correlated beam errors,
+    # interpolation bias), so a few-cm floor keeps edge chi^2 honest
+    cov_floor_xy: float = 0.02  # m (stddev)
+    cov_floor_theta: float = 0.01  # rad (stddev)
+    # pairwise-consistency loop filtering (PCM-style): corridor slides can
+    # match PERFECTLY (range-limit endpoints fake a corner), so per-edge
+    # gates cannot catch them — but a slid edge is inconsistent with the
+    # consensus of good edges through chain cycles
+    use_pcm: bool = True
+    pcm_chi2: float = 9.0  # pairwise consistency gate
+    pcm_drift_inflation: float = 4.0  # x chain variance (correlated drift)
+    rounds: int = 2  # detect→match→solve passes (round 2 sees corrected poses)
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout for the distributed paths (SURVEY §2.5)."""
 
@@ -275,6 +317,7 @@ class SLAMConfig:
         default_factory=KartoFrontEndConfig
     )
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    offline: OfflineConfig = dataclasses.field(default_factory=OfflineConfig)
     undistort: UndistortConfig = dataclasses.field(default_factory=UndistortConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 

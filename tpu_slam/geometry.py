@@ -101,6 +101,43 @@ def apply(pose: jax.Array, points: jax.Array) -> jax.Array:
     return jnp.stack([c * x - s * y + px, s * x + c * y + py], axis=-1)
 
 
+@jax.jit
+def compose_chain(pose0: jax.Array, rels: jax.Array) -> jax.Array:
+    """Integrate a chain of relative poses: returns (T, 3) absolute poses
+    with ``out[0] = pose0`` and ``out[k+1] = out[k] ⊕ rels[k]``.
+
+    SE(2) composition is associative, so the whole chain integrates in one
+    `lax.associative_scan` (log-depth on device) instead of the reference's
+    sequential TF accumulation (plicp_odometry.cc:406-470) — the batched
+    building block of the offline mapper. Angles are carried as (cos, sin)
+    so the scan's combine is algebraic; headings are re-extracted at the
+    end, which also renormalizes any drift in the rotation magnitude.
+    """
+    first = pose0[None]
+    seq = jnp.concatenate([first, rels], axis=0)  # (T, 3)
+    c = jnp.cos(seq[:, 2])
+    s = jnp.sin(seq[:, 2])
+    el = jnp.stack([c, s, seq[:, 0], seq[:, 1]], axis=-1)  # (T, 4)
+
+    def comb(a, b):
+        ca, sa, xa, ya = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+        cb, sb, xb, yb = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        return jnp.stack(
+            [
+                ca * cb - sa * sb,
+                sa * cb + ca * sb,
+                xa + ca * xb - sa * yb,
+                ya + sa * xb + ca * yb,
+            ],
+            axis=-1,
+        )
+
+    acc = jax.lax.associative_scan(comb, el, axis=0)
+    return jnp.stack(
+        [acc[:, 2], acc[:, 3], jnp.arctan2(acc[:, 1], acc[:, 0])], axis=-1
+    )
+
+
 def exp(v: jax.Array) -> jax.Array:
     """SE(2) exponential map from twist (vx, vy, omega) to pose."""
     vx, vy, w = v[..., 0], v[..., 1], v[..., 2]

@@ -1,0 +1,415 @@
+"""Offline batch SLAM: the whole mission as data-parallel device programs.
+
+The reference's Karto pipeline is inherently sequential — one
+`Mapper::Process` per scan callback, each loop closure solved inline
+(`lesson6/lib/open_karto/src/Mapper.cpp:1999-2120`). That shape is wrong
+for a TPU: per-scan dispatches leave the chip idle and (over a remote
+device link) pay a round trip per scan. The offline mapper re-designs the
+same capability — PL-ICP odometry, loop-closure detection, global pose
+optimization, map regeneration — as a handful of BATCHED programs over the
+entire mission:
+
+  1. every consecutive scan pair is matched in ONE batched PL-ICP call
+     (the `make_batched_matcher` throughput workhorse, shardable over a
+     device mesh for data parallelism);
+  2. the odometry chain integrates in one log-depth
+     `geometry.compose_chain` (`lax.associative_scan`);
+  3. loop candidates come from a pose-proximity sweep (host numpy — tiny);
+  4. candidate pairs are matched by MULTI-START batched PL-ICP: a seed
+     lattice around the predicted relative pose brute-forces the
+     convergence basin with batch throughput instead of the reference's
+     coarse-to-fine correlation grids (Mapper.cpp:184-291) — C·S matches
+     are one kernel call;
+  5. accepted loops + chain edges feed the device-resident LM pose-graph
+     solve (`solver/pose_graph.py`, the SPA2d replacement);
+  6. detection→match→solve repeats (round 2 sees drift-corrected poses and
+     finds the loops the raw chain hid).
+
+Degenerate geometry (long corridors — the reference's documented PL-ICP
+failure, README.md:100) is handled by honesty, not heuristics: each match's
+GN covariance feeds the solver, so a corridor-aliased loop edge carries
+near-zero information along the slide direction and full information
+across it.
+
+Frames: everything here is in the LASER frame (scans are matched
+directly); pass odometry already composed into the sensor frame, or leave
+the default identity base↔laser offset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam import geometry as geo
+from tpu_slam.config import SLAMConfig
+from tpu_slam.data.scan import Scan
+from tpu_slam.parallel.distributed_step import make_batched_matcher
+from tpu_slam.solver.pose_graph import PoseGraphSolver
+
+
+@dataclasses.dataclass
+class LoopEdge:
+    i: int
+    j: int
+    mean: np.ndarray  # (3,) T_{i,j} in i's frame
+    covariance: np.ndarray  # (3, 3)
+    error: float
+    inlier_frac: float
+    round: int
+
+
+@dataclasses.dataclass
+class OfflineResult:
+    poses: np.ndarray  # (T, 3) optimized laser-frame poses
+    chain_poses: np.ndarray  # (T, 3) raw integrated odometry chain
+    chain_rels: np.ndarray  # (T-1, 3) consecutive PL-ICP transforms
+    loops: list  # list[LoopEdge]
+    solver: PoseGraphSolver
+    candidates_tried: int
+    timer: object = None  # StageTimer, when requested
+
+
+def _bucket(n: int, lo: int = 64) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _seed_lattice(ocfg) -> np.ndarray:
+    """(S, 3) additive perturbations around the predicted relative pose."""
+    xs = np.linspace(-ocfg.seed_xy, ocfg.seed_xy, ocfg.seeds_xy)
+    ths = np.linspace(-ocfg.seed_theta, ocfg.seed_theta, ocfg.seeds_theta)
+    gx, gy, gt = np.meshgrid(xs, xs, ths, indexing="ij")
+    return np.stack(
+        [gx.ravel(), gy.ravel(), gt.ravel()], axis=-1
+    ).astype(np.float32)
+
+
+def _loop_candidates(
+    poses: np.ndarray, ocfg, tried: set
+) -> list[tuple[int, int]]:
+    """Pose-proximity candidate pairs (i < j), thinned by non-maximum
+    suppression along both scan indices. The analogue of
+    FindPossibleLoopClosure's linear distance sweep (Mapper.cpp:1333-1394),
+    done once over the whole mission."""
+    T = poses.shape[0]
+    d = np.linalg.norm(
+        poses[None, :, :2] - poses[:, None, :2], axis=-1
+    )
+    ii, jj = np.nonzero(
+        (d <= ocfg.loop_radius)
+        & (np.arange(T)[None, :] - np.arange(T)[:, None] >= ocfg.loop_min_gap)
+    )
+    order = np.argsort(d[ii, jj])
+    picked: list[tuple[int, int]] = []
+    for k in order:
+        i, j = int(ii[k]), int(jj[k])
+        if (i, j) in tried:
+            continue
+        if any(
+            abs(i - a) < ocfg.loop_nms_gap and abs(j - b) < ocfg.loop_nms_gap
+            for a, b in picked
+        ):
+            continue
+        picked.append((i, j))
+        if len(picked) >= ocfg.max_candidates:
+            break
+    return picked
+
+
+def _np_compose(a, b):
+    """Batched SE(2) composition on numpy arrays (..., 3)."""
+    c, s = np.cos(a[..., 2]), np.sin(a[..., 2])
+    return np.stack(
+        [
+            a[..., 0] + c * b[..., 0] - s * b[..., 1],
+            a[..., 1] + s * b[..., 0] + c * b[..., 1],
+            np.arctan2(
+                np.sin(a[..., 2] + b[..., 2]), np.cos(a[..., 2] + b[..., 2])
+            ),
+        ],
+        axis=-1,
+    )
+
+
+def _np_inverse(a):
+    c, s = np.cos(a[..., 2]), np.sin(a[..., 2])
+    return np.stack(
+        [
+            -(c * a[..., 0] + s * a[..., 1]),
+            -(-s * a[..., 0] + c * a[..., 1]),
+            -a[..., 2],
+        ],
+        axis=-1,
+    )
+
+
+def consistent_loop_set(
+    loops: list[LoopEdge],
+    poses: np.ndarray,
+    chain_step_var: float,
+    ocfg,
+) -> np.ndarray:
+    """Pairwise-consistency filtering of loop edges (PCM-style greedy
+    max-clique).
+
+    Per-edge gates cannot reject corridor-slide aliases: with the range
+    limit truncating both walls identically, a slid match has noise-floor
+    residuals and a confidently WRONG Hessian (measured: 0.5 m slides at
+    chi^2>500 under the edge's own covariance). But any two TRUE edges are
+    consistent through the odometry chain — the cycle
+    ``T_a^-1 · chain(i_a→i_b) · T_b · chain(j_b→j_a)`` is identity up to
+    accumulated drift — while a slide breaks every such cycle it appears
+    in. So: build the pairwise consistency graph (cycle chi^2 under edge
+    covariances + drift allowance) and keep the greedy maximum clique.
+    Returns a boolean keep-mask over ``loops``.
+
+    New vs reference (the reference has no loop verification beyond its
+    response/variance gates, Mapper.cpp:976-1051); standard practice from
+    the robust pose-graph literature (pairwise consistency maximization).
+    """
+    C = len(loops)
+    if C <= 1:
+        return np.ones(C, bool)
+    ci = np.array([e.i for e in loops])
+    cj = np.array([e.j for e in loops])
+    Tm = np.stack([e.mean for e in loops])  # (C, 3)
+    covs = np.stack([e.covariance for e in loops])  # (C, 3, 3)
+
+    # Q_e = P_{i_e} · T_e : the edge's claim for pose j_e in world frame
+    Q = _np_compose(poses[ci], Tm)
+    # cycle C_ab = rel(Q_a, Q_b) ∘ rel(P_{j_b}, P_{j_a})
+    relQ = _np_compose(_np_inverse(Q)[:, None, :], Q[None, :, :])  # (C,C,3)
+    relP = _np_compose(
+        _np_inverse(poses[cj])[None, :, :], poses[cj][:, None, :]
+    )  # (C,C,3): [a, b] = rel(P_{j_b}, P_{j_a})
+    cyc = _np_compose(relQ, relP)
+
+    d2xy = cyc[..., 0] ** 2 + cyc[..., 1] ** 2
+    dth = np.arctan2(np.sin(cyc[..., 2]), np.cos(cyc[..., 2]))
+
+    # allowance: both edges' covariances + drift of the chain segments
+    sig_xy = np.maximum(
+        np.linalg.eigvalsh(covs[:, :2, :2]).max(axis=-1), 1e-8
+    )
+    sig_th = np.maximum(covs[:, 2, 2], 1e-10)
+    gap = np.abs(ci[:, None] - ci[None, :]) + np.abs(cj[:, None] - cj[None, :])
+    drift = ocfg.pcm_drift_inflation * chain_step_var * gap
+    var_xy = sig_xy[:, None] + sig_xy[None, :] + drift
+    var_th = sig_th[:, None] + sig_th[None, :] + 0.1 * drift
+    chi2 = d2xy / var_xy + dth**2 / var_th
+    adj = chi2 <= ocfg.pcm_chi2
+    np.fill_diagonal(adj, True)
+
+    # greedy max clique: seed with the highest-degree edge, grow by degree
+    deg = adj.sum(axis=1)
+    order = np.argsort(-deg)
+    clique: list[int] = []
+    for k in order:
+        if all(adj[k, c] for c in clique):
+            clique.append(int(k))
+    keep = np.zeros(C, bool)
+    keep[clique] = True
+    return keep
+
+
+def offline_slam(
+    scans: Scan,
+    cfg: SLAMConfig,
+    odom: np.ndarray | None = None,
+    mesh=None,
+    timer=None,
+) -> OfflineResult:
+    """Run the full offline pipeline; see module docstring."""
+    from tpu_slam.utils.profiling import StageTimer
+
+    timer = timer if timer is not None else StageTimer()
+    ocfg = cfg.offline
+    pts = np.where(
+        np.asarray(scans.valid)[..., None], np.asarray(scans.points()), 0.0
+    ).astype(np.float32)
+    valid = np.asarray(scans.valid)
+    T = pts.shape[0]
+    if T < 2:
+        raise ValueError("offline_slam needs at least two scans")
+
+    match = make_batched_matcher(cfg, mesh)
+
+    # 1. consecutive odometry chain, one batched call --------------------
+    if odom is not None:
+        guesses = np.asarray(
+            geo.relative(jnp.asarray(odom[:-1]), jnp.asarray(odom[1:])),
+            np.float32,
+        )
+    else:
+        guesses = np.zeros((T - 1, 3), np.float32)
+    floor = np.diag(
+        [ocfg.cov_floor_xy**2, ocfg.cov_floor_xy**2, ocfg.cov_floor_theta**2]
+    )
+    with timer.stage("chain_match"):
+        res = match(
+            jnp.asarray(pts[1:]), jnp.asarray(valid[1:]),
+            jnp.asarray(pts[:-1]), jnp.asarray(valid[:-1]),
+            jnp.asarray(guesses),
+        )
+        chain_rels = np.asarray(res.pose, np.float64)
+    chain_covs_raw = np.asarray(res.covariance, np.float64)
+    chain_covs = chain_covs_raw + floor
+    chain_errs = np.asarray(res.error, np.float64)
+    # per-step drift variance for the PCM cycle allowance: the RAW GN
+    # covariance (the floor models systematic per-match bias, not random
+    # walk, and would swamp the allowance over long chain segments)
+    chain_step_var = float(
+        np.median(np.linalg.eigvalsh(chain_covs_raw[:, :2, :2]).max(axis=-1))
+    )
+    # the mission's own noise floor calibrates the loop alias gate
+    err_gate = min(
+        ocfg.max_mean_error,
+        ocfg.alias_error_mult
+        * float(np.median(chain_errs[np.isfinite(chain_errs)])),
+    )
+
+    # 2. integrate (log-depth associative scan) --------------------------
+    pose0 = np.zeros(3) if odom is None else np.asarray(odom[0], np.float64)
+    with timer.stage("integrate"):
+        chain_poses = np.asarray(
+            geo.compose_chain(
+                jnp.asarray(pose0, jnp.float32),
+                jnp.asarray(chain_rels, jnp.float32),
+            ),
+            np.float64,
+        )
+
+    def _build_solver(loop_edges: list[LoopEdge]) -> PoseGraphSolver:
+        s = PoseGraphSolver(cfg.solver)
+        for k in range(T):
+            s.add_node(k, chain_poses[k])
+        for k in range(T - 1):
+            s.add_constraint(
+                k, k + 1, chain_rels[k], covariance=chain_covs[k]
+            )
+        for e in loop_edges:
+            s.add_constraint(e.i, e.j, e.mean, covariance=e.covariance)
+        return s
+
+    seeds = _seed_lattice(ocfg)
+    S = seeds.shape[0]
+    poses = chain_poses
+    solver = _build_solver([])
+    candidates_all: list[LoopEdge] = []  # gate-passing edges (pre-PCM)
+    loops: list[LoopEdge] = []  # the consistent set fed to the solver
+    tried: set[tuple[int, int]] = set()
+
+    for rnd in range(ocfg.rounds):
+        # 3. candidates from current pose estimates ----------------------
+        with timer.stage("candidates"):
+            cands = _loop_candidates(poses, ocfg, tried)
+        tried.update(cands)
+        if not cands:
+            break
+        C = len(cands)
+
+        # 4. multi-start batched loop matching ---------------------------
+        ci = np.fromiter((c[0] for c in cands), np.int64, C)
+        cj = np.fromiter((c[1] for c in cands), np.int64, C)
+        rel_pred = np.asarray(
+            geo.relative(
+                jnp.asarray(poses[ci], jnp.float32),
+                jnp.asarray(poses[cj], jnp.float32),
+            ),
+            np.float32,
+        )
+        g = rel_pred[:, None, :] + seeds[None, :, :]  # (C, S, 3)
+        B = C * S
+        Bp = _bucket(B)
+        src = np.zeros((Bp,) + pts.shape[1:], np.float32)
+        srcv = np.zeros((Bp,) + valid.shape[1:], bool)
+        tgt = np.zeros_like(src)
+        tgtv = np.zeros_like(srcv)
+        gb = np.zeros((Bp, 3), np.float32)
+        src[:B] = np.repeat(pts[cj], S, axis=0)
+        srcv[:B] = np.repeat(valid[cj], S, axis=0)
+        tgt[:B] = np.repeat(pts[ci], S, axis=0)
+        tgtv[:B] = np.repeat(valid[ci], S, axis=0)
+        gb[:B] = g.reshape(B, 3)
+        with timer.stage("loop_match"):
+            mres = match(
+                jnp.asarray(src), jnp.asarray(srcv),
+                jnp.asarray(tgt), jnp.asarray(tgtv), jnp.asarray(gb),
+            )
+            merr = np.asarray(mres.error, np.float64)[:B].reshape(C, S)
+            minl = np.asarray(mres.num_inliers, np.float64)[:B].reshape(C, S)
+            mpose = np.asarray(mres.pose, np.float64)[:B].reshape(C, S, 3)
+            mcov = np.asarray(
+                mres.covariance, np.float64
+            )[:B].reshape(C, S, 3, 3)
+
+        # 5. best seed per candidate + gates ------------------------------
+        nv = valid[cj].sum(axis=-1).astype(np.float64)  # valid beams of src
+        frac = minl / np.maximum(nv[:, None], 1.0)
+        # basin gate: a result that walked OUTSIDE the seeded basin was
+        # never verified by the lattice — in self-similar geometry
+        # (corridors, repeated corners) those are confident-but-aliased
+        # optima (measured: true corrections land within drift scale of
+        # the prediction, aliases 0.7-0.9 m out)
+        dev = mpose - rel_pred[:, None, :].astype(np.float64)
+        dev_th = np.arctan2(np.sin(dev[..., 2]), np.cos(dev[..., 2]))
+        in_basin = (
+            (np.linalg.norm(dev[..., :2], axis=-1) <= ocfg.seed_xy)
+            & (np.abs(dev_th) <= ocfg.seed_theta)
+        )
+        ok_seed = (frac >= ocfg.min_inlier_frac) & in_basin
+        err_m = np.where(ok_seed, merr, np.inf)
+        best = np.argmin(err_m, axis=1)
+        rows = np.arange(C)
+        accept = (
+            np.isfinite(err_m[rows, best])
+            & (err_m[rows, best] <= err_gate)
+        )
+        new_edges = 0
+        for k in np.nonzero(accept)[0]:
+            candidates_all.append(
+                LoopEdge(
+                    i=int(ci[k]), j=int(cj[k]),
+                    mean=mpose[k, best[k]],
+                    covariance=mcov[k, best[k]] + floor,
+                    error=float(err_m[k, best[k]]),
+                    inlier_frac=float(frac[k, best[k]]),
+                    round=rnd,
+                )
+            )
+            new_edges += 1
+        if new_edges == 0:
+            break
+
+        # 5b. pairwise-consistency selection over ALL edges so far --------
+        if ocfg.use_pcm:
+            with timer.stage("pcm"):
+                keep = consistent_loop_set(
+                    candidates_all, chain_poses, chain_step_var, ocfg
+                )
+            loops = [e for e, k in zip(candidates_all, keep) if k]
+        else:
+            loops = list(candidates_all)
+        if not loops:
+            break
+
+        # 6. global solve (device-resident LM) ----------------------------
+        with timer.stage("solve"):
+            solver = _build_solver(loops)
+            solver.compute()
+            poses = solver.get_poses()
+
+    return OfflineResult(
+        poses=poses,
+        chain_poses=chain_poses,
+        chain_rels=chain_rels,
+        loops=loops,
+        solver=solver,
+        candidates_tried=len(tried),
+        timer=timer,
+    )

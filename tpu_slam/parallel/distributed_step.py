@@ -75,7 +75,25 @@ def make_batched_matcher(cfg: SLAMConfig, mesh: Mesh | None = None,
 
     This is the per-chip throughput workhorse for the benchmarks
     (BASELINE.json "≥10× CPU scans/s per chip").
+
+    Memoized on (plicp config, mesh, axis): every call site gets the SAME
+    jitted callable, so its compiled executables are shared — a fresh
+    wrapper per call would silently recompile identical programs (jax's
+    jit cache keys on function identity).
     """
+    key = (cfg.plicp, mesh, axis, jax.default_backend())
+    hit = _MATCHER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    fn = _make_batched_matcher(cfg, mesh, axis)
+    _MATCHER_CACHE[key] = fn
+    return fn
+
+
+_MATCHER_CACHE: dict = {}
+
+
+def _make_batched_matcher(cfg: SLAMConfig, mesh: Mesh | None, axis: str):
     # On TPU the fully-fused Pallas matcher (one kernel for the whole ICP
     # loop) runs ~8× faster than the XLA op-by-op path; elsewhere (CPU tests,
     # interpret-less backends) use the XLA path.
