@@ -120,3 +120,19 @@ def test_offline_slam_corridor_loop():
     ate_opt = ate_rmse(res.poses, seq.gt_poses)
     assert ate_opt < 0.08
     assert ate_opt <= ate_chain + 1e-6
+
+
+def test_offline_slam_sharded_matches_unsharded():
+    """offline_slam(mesh=8-device CPU mesh) must reproduce the unsharded
+    result: the batched matcher is embarrassingly parallel over pairs and
+    the pair batches are padded to mesh-divisible buckets."""
+    from tpu_slam.parallel.mesh import make_mesh
+
+    cfg, scans, seq, odom = _corridor_mission()
+    base = offline_slam(scans, cfg, odom=odom)
+    sharded = offline_slam(scans, cfg, odom=odom, mesh=make_mesh(8))
+    np.testing.assert_allclose(
+        sharded.chain_poses, base.chain_poses, atol=1e-5
+    )
+    assert len(sharded.loops) == len(base.loops)
+    np.testing.assert_allclose(sharded.poses, base.poses, atol=5e-4)

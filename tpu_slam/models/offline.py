@@ -46,7 +46,9 @@ import numpy as np
 from tpu_slam import geometry as geo
 from tpu_slam.config import SLAMConfig
 from tpu_slam.data.scan import Scan
-from tpu_slam.parallel.distributed_step import make_batched_matcher
+from tpu_slam.parallel.distributed_step import (
+    make_batched_matcher, make_indexed_matcher,
+)
 from tpu_slam.solver.pose_graph import PoseGraphSolver
 
 
@@ -97,14 +99,39 @@ def _loop_candidates(
     FindPossibleLoopClosure's linear distance sweep (Mapper.cpp:1333-1394),
     done once over the whole mission."""
     T = poses.shape[0]
-    d = np.linalg.norm(
-        poses[None, :, :2] - poses[:, None, :2], axis=-1
-    )
-    ii, jj = np.nonzero(
-        (d <= ocfg.loop_radius)
-        & (np.arange(T)[None, :] - np.arange(T)[:, None] >= ocfg.loop_min_gap)
-    )
-    order = np.argsort(d[ii, jj])
+    # blockwise sweep: the full T x T distance matrix is O(T^2) memory
+    # (800 MB at 10k scans), column blocks keep it bounded; distances via
+    # the |p|^2 + |q|^2 - 2 p.q expansion (one BLAS matmul, no (T,B,2)
+    # temporaries)
+    blk = 2048
+    xy = poses[:, :2].astype(np.float32)
+    n2 = np.sum(xy * xy, axis=1)
+    r2 = np.float32(ocfg.loop_radius) ** 2
+    ii_l, jj_l, dd_l = [], [], []
+    for r0 in range(0, T, blk):
+        r1 = min(r0 + blk, T)
+        d2 = (
+            n2[:, None] + n2[None, r0:r1] - 2.0 * (xy @ xy[r0:r1].T)
+        )  # (T, r1-r0): [i, j-r0]
+        gap_ok = (
+            np.arange(r0, r1)[None, :] - np.arange(T)[:, None]
+            >= ocfg.loop_min_gap
+        )
+        i_b, j_b = np.nonzero((d2 <= r2) & gap_ok)
+        ii_l.append(i_b)
+        jj_l.append(j_b + r0)
+        dd_l.append(d2[i_b, j_b])
+    ii = np.concatenate(ii_l)
+    jj = np.concatenate(jj_l)
+    order = np.argsort(np.concatenate(dd_l))
+    # prefilter to the closest pair per (gap x gap) index cell: pairs
+    # sharing a cell are mutually within the NMS gap, so only the cell
+    # winner can survive the exact NMS below — shrinks the python loop
+    # from every in-radius pair to ~one per revisit cell
+    g = max(ocfg.loop_nms_gap, 1)
+    cells = (ii // g).astype(np.int64) * (T // g + 2) + jj // g
+    _, first = np.unique(cells[order], return_index=True)
+    order = order[np.sort(first)]
     picked: list[tuple[int, int]] = []
     for k in order:
         i, j = int(ii[k]), int(jj[k])
@@ -229,37 +256,58 @@ def offline_slam(
 
     timer = timer if timer is not None else StageTimer()
     ocfg = cfg.offline
-    pts = np.where(
-        np.asarray(scans.valid)[..., None], np.asarray(scans.points()), 0.0
-    ).astype(np.float32)
+    # polar→Cartesian on host: eager device ops would pay a compile+RTT per
+    # op over a remote device link; the whole pipeline touches the device
+    # only through its jitted batched programs
+    ranges = np.asarray(scans.ranges)
+    angles = np.asarray(scans.angles)
     valid = np.asarray(scans.valid)
+    pts = np.where(
+        valid[..., None],
+        np.stack(
+            [ranges * np.cos(angles), ranges * np.sin(angles)], axis=-1
+        ),
+        0.0,
+    ).astype(np.float32)
+    pts[~np.isfinite(pts)] = 0.0
     T = pts.shape[0]
     if T < 2:
         raise ValueError("offline_slam needs at least two scans")
 
     match = make_batched_matcher(cfg, mesh)
+    imatch = make_indexed_matcher(cfg, mesh)
 
     # 1. consecutive odometry chain, one batched call --------------------
     if odom is not None:
-        guesses = np.asarray(
-            geo.relative(jnp.asarray(odom[:-1]), jnp.asarray(odom[1:])),
-            np.float32,
+        odom = np.asarray(odom, np.float64)
+        guesses = _np_compose(_np_inverse(odom[:-1]), odom[1:]).astype(
+            np.float32
         )
     else:
         guesses = np.zeros((T - 1, 3), np.float32)
     floor = np.diag(
         [ocfg.cov_floor_xy**2, ocfg.cov_floor_xy**2, ocfg.cov_floor_theta**2]
     )
+    # pad the pair batch to a power-of-two bucket: shapes are reused across
+    # missions, and sharded batches stay divisible by the mesh size
+    Bc = T - 1
+    Bcp = _bucket(Bc)
+
+    def padb(a):
+        out = np.zeros((Bcp,) + a.shape[1:], a.dtype)
+        out[:Bc] = a
+        return jnp.asarray(out)
+
     with timer.stage("chain_match"):
         res = match(
-            jnp.asarray(pts[1:]), jnp.asarray(valid[1:]),
-            jnp.asarray(pts[:-1]), jnp.asarray(valid[:-1]),
-            jnp.asarray(guesses),
+            padb(pts[1:]), padb(valid[1:]),
+            padb(pts[:-1]), padb(valid[:-1]),
+            padb(guesses),
         )
-        chain_rels = np.asarray(res.pose, np.float64)
-    chain_covs_raw = np.asarray(res.covariance, np.float64)
+        chain_rels = np.asarray(res.pose, np.float64)[:Bc]
+    chain_covs_raw = np.asarray(res.covariance, np.float64)[:Bc]
     chain_covs = chain_covs_raw + floor
-    chain_errs = np.asarray(res.error, np.float64)
+    chain_errs = np.asarray(res.error, np.float64)[:Bc]
     # per-step drift variance for the PCM cycle allowance: the RAW GN
     # covariance (the floor models systematic per-match bias, not random
     # walk, and would swamp the allowance over long chain segments)
@@ -316,30 +364,31 @@ def offline_slam(
         # 4. multi-start batched loop matching ---------------------------
         ci = np.fromiter((c[0] for c in cands), np.int64, C)
         cj = np.fromiter((c[1] for c in cands), np.int64, C)
-        rel_pred = np.asarray(
-            geo.relative(
-                jnp.asarray(poses[ci], jnp.float32),
-                jnp.asarray(poses[cj], jnp.float32),
-            ),
-            np.float32,
-        )
+        rel_pred = _np_compose(
+            _np_inverse(poses[ci]), poses[cj]
+        ).astype(np.float32)
         g = rel_pred[:, None, :] + seeds[None, :, :]  # (C, S, 3)
         B = C * S
         Bp = _bucket(B)
-        src = np.zeros((Bp,) + pts.shape[1:], np.float32)
-        srcv = np.zeros((Bp,) + valid.shape[1:], bool)
-        tgt = np.zeros_like(src)
-        tgtv = np.zeros_like(srcv)
+        # upload each unique candidate scan ONCE; the (C·S) multi-start
+        # batch is gathered on device from the table by row index
+        uniq, inv = np.unique(np.concatenate([ci, cj]), return_inverse=True)
+        U = _bucket(len(uniq), lo=16)
+        table = np.zeros((U,) + pts.shape[1:], np.float32)
+        tablev = np.zeros((U,) + valid.shape[1:], bool)
+        table[: len(uniq)] = pts[uniq]
+        tablev[: len(uniq)] = valid[uniq]
+        li, lj = inv[:C], inv[C:]
+        si = np.zeros(Bp, np.int32)
+        ti = np.zeros(Bp, np.int32)
         gb = np.zeros((Bp, 3), np.float32)
-        src[:B] = np.repeat(pts[cj], S, axis=0)
-        srcv[:B] = np.repeat(valid[cj], S, axis=0)
-        tgt[:B] = np.repeat(pts[ci], S, axis=0)
-        tgtv[:B] = np.repeat(valid[ci], S, axis=0)
+        si[:B] = np.repeat(lj, S)
+        ti[:B] = np.repeat(li, S)
         gb[:B] = g.reshape(B, 3)
         with timer.stage("loop_match"):
-            mres = match(
-                jnp.asarray(src), jnp.asarray(srcv),
-                jnp.asarray(tgt), jnp.asarray(tgtv), jnp.asarray(gb),
+            mres = imatch(
+                jnp.asarray(table), jnp.asarray(tablev),
+                jnp.asarray(si), jnp.asarray(ti), jnp.asarray(gb),
             )
             merr = np.asarray(mres.error, np.float64)[:B].reshape(C, S)
             minl = np.asarray(mres.num_inliers, np.float64)[:B].reshape(C, S)

@@ -93,19 +93,58 @@ def make_batched_matcher(cfg: SLAMConfig, mesh: Mesh | None = None,
 _MATCHER_CACHE: dict = {}
 
 
+def make_indexed_matcher(cfg: SLAMConfig, mesh: Mesh | None = None,
+                         axis: str = "data"):
+    """Batched PL-ICP over a scan TABLE: pairs are (src_idx, tgt_idx) rows
+    into one uploaded (U, N, 2) array, gathered on device.
+
+    For multi-start matching (C candidates x S seeds) the direct batched
+    matcher would transfer every candidate scan S times; here each unique
+    scan crosses the link once and the (B,) index vectors are bytes. The
+    table is replicated over the mesh, the pair batch is sharded."""
+    key = ("indexed", cfg.plicp, mesh, axis, jax.default_backend())
+    hit = _MATCHER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    base = _match_fn(cfg)
+
+    def f(store_pts, store_valid, src_idx, tgt_idx, guesses):
+        return base(
+            store_pts[src_idx], store_valid[src_idx],
+            store_pts[tgt_idx], store_valid[tgt_idx], guesses,
+        )
+
+    if mesh is None:
+        fn = jax.jit(f)
+    else:
+        repl = NamedSharding(mesh, P())
+        batch = NamedSharding(mesh, P(axis))
+        fn = jax.jit(
+            f,
+            in_shardings=(repl, repl, batch, batch, batch),
+            out_shardings=batch,
+        )
+    _MATCHER_CACHE[key] = fn
+    return fn
+
+
+def _match_fn(cfg: SLAMConfig):
+    """The per-backend batched PL-ICP callable (unjitted)."""
+    if jax.default_backend() == "tpu" and cfg.plicp.use_point_to_line_distance:
+        from tpu_slam.ops.pallas.plicp_fused import plicp_match_fused
+
+        return lambda sp, sv, tp, tv, g: plicp_match_fused(
+            sp, sv, tp, tv, cfg.plicp, init_pose=g
+        )
+    pl_ = functools.partial(plicp_match, cfg=cfg.plicp)
+    return lambda sp, sv, tp, tv, g: pl_(sp, sv, tp, tv, init_pose=g)
+
+
 def _make_batched_matcher(cfg: SLAMConfig, mesh: Mesh | None, axis: str):
     # On TPU the fully-fused Pallas matcher (one kernel for the whole ICP
     # loop) runs ~8× faster than the XLA op-by-op path; elsewhere (CPU tests,
     # interpret-less backends) use the XLA path.
-    if jax.default_backend() == "tpu" and cfg.plicp.use_point_to_line_distance:
-        from tpu_slam.ops.pallas.plicp_fused import plicp_match_fused
-
-        f = lambda sp, sv, tp, tv, g: plicp_match_fused(
-            sp, sv, tp, tv, cfg.plicp, init_pose=g
-        )
-    else:
-        pl_ = functools.partial(plicp_match, cfg=cfg.plicp)
-        f = lambda sp, sv, tp, tv, g: pl_(sp, sv, tp, tv, init_pose=g)
+    f = _match_fn(cfg)
     if mesh is None:
         return jax.jit(f)
     batch = NamedSharding(mesh, P(axis))
