@@ -162,3 +162,56 @@ class TestNativeBagDecoder:
             np.testing.assert_allclose(pose[i], parsed["pose"], atol=1e-9)
             assert twist[i][0] == pytest.approx(0.9)
             assert twist[i][2] == pytest.approx(0.2)
+
+
+def test_native_karto_counts_matches_device():
+    """ts_karto_counts mirrors ops/gridmap.karto_counts_update_scan
+    (float32, same sampling/dedup/threshold semantics): occupancy maps must
+    agree except possibly a vanishing fraction of cell-boundary ties."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpu_slam import native
+    from tpu_slam.config import default_config
+    from tpu_slam.data import simulator as sim
+    from tpu_slam.data.scan import index_scan, make_scan
+    from tpu_slam.models.karto.occupancy import (
+        compute_grid_bounds, occupancy_from_scans,
+    )
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        scan=dataclasses.replace(
+            cfg.scan, num_beams=120, range_max=6.0, range_threshold=5.0
+        ),
+    )
+    traj = sim.circle_trajectory(24, radius=1.4, angular_rate=0.6)
+    world = sim.office_world(seed=9, clear_path=traj)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, noise_std=0.004, seed=3)
+    scans = make_scan(seq.ranges, cfg.scan)
+    pts = np.where(
+        np.asarray(scans.valid)[..., None], np.asarray(scans.points()), 0.0
+    ).astype(np.float32)
+    valid = np.asarray(scans.valid)
+    poses = seq.gt_poses.astype(np.float32)
+    gcfg = compute_grid_bounds(poses, cfg.scan.range_threshold, 0.05)
+
+    m_dev = occupancy_from_scans(
+        gcfg, poses, pts, valid, cfg.scan.range_threshold, engine="device"
+    )
+    m_nat = occupancy_from_scans(
+        gcfg, poses, pts, valid, cfg.scan.range_threshold, engine="native"
+    )
+    assert m_dev.shape == m_nat.shape
+    disagree = (m_dev != m_nat).mean()
+    assert disagree < 5e-3, f"{disagree:.4%} cells disagree"
+    # occupied structure identical up to isolated boundary ties
+    occ_dev = m_dev == 100
+    occ_nat = m_nat == 100
+    assert (occ_dev != occ_nat).sum() <= max(3, 0.01 * occ_dev.sum())

@@ -50,11 +50,20 @@ def occupancy_from_scans(
     min_pass_through: int = 2,
     occupancy_threshold: float = 0.1,
     scans_per_block: int = 1,
+    engine: str = "auto",
 ) -> np.ndarray:
     """CreateFromScans: returns int8 (H, W) map (-1 unknown/0 free/100 occ).
 
     One jitted lax.scan accumulates pass/hit counters over the scan axis —
     the batched form of AddScan→RayTrace→UpdateCell (Karto.h:5852-5968).
+
+    engine: "device" (XLA scatter loop), "native" (the C++ host rasterizer
+    `native.karto_counts`, an operation-for-operation float32 mirror of the
+    device path), or "auto" (native when available). Rasterization is the
+    one primitive where a host scalar loop beats XLA-on-TPU — scatter-add
+    cost is superlinear in update count (see BENCHMARKS.md), measured
+    ~25x on whole-mission rebuilds — and map regeneration is a host-facing
+    publish step, not part of the device compute path.
 
     scans_per_block: scans rasterized per scatter op. Counter-intuitively,
     1 is fastest on v5e: XLA TPU scatter cost grows SUPERLINEARLY in the
@@ -67,6 +76,32 @@ def occupancy_from_scans(
     T = poses.shape[0]
     if T == 0:
         return np.full((grid_cfg.size_y, grid_cfg.size_x), -1, np.int8)
+
+    if engine != "device":
+        from tpu_slam import native
+
+        if native.available():
+            # world endpoints from corrected poses (host, float32)
+            p32 = np.asarray(poses, np.float32)
+            c = np.cos(p32[:, 2])[:, None]
+            s = np.sin(p32[:, 2])[:, None]
+            pl32 = np.asarray(pts_laser, np.float32)
+            wx = p32[:, 0:1] + c * pl32[..., 0] - s * pl32[..., 1]
+            wy = p32[:, 1:2] + s * pl32[..., 0] + c * pl32[..., 1]
+            ends = np.stack([wx, wy], axis=-1)
+            pc, hc = native.karto_counts(
+                p32[:, :2], ends, np.asarray(valid, bool), grid_cfg,
+                range_threshold,
+            )
+            passed = pc > min_pass_through
+            occ = passed & (
+                hc / np.maximum(pc, 1) >= occupancy_threshold
+            )
+            return np.where(occ, 100, np.where(passed, 0, -1)).astype(
+                np.int8
+            )
+        if engine == "native":
+            raise RuntimeError("native library unavailable")
     C = min(scans_per_block, T)
     pad = (-T) % C
     if pad:

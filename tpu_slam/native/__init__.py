@@ -67,6 +67,12 @@ def _load():
     lib.ts_bag_read_imu.restype = i64
     lib.ts_bag_read_odom.argtypes = [cs, cs, i64, dp, dp, dp]
     lib.ts_bag_read_odom.restype = i64
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    f32 = ctypes.c_float
+    lib.ts_karto_counts.argtypes = [
+        fp, fp, u8, i64, i64, f32, f32, f32, i64, i64, f32, f32, f32,
+        i32, i32,
+    ]
     _lib = lib
     return _lib
 
@@ -115,6 +121,42 @@ def bresenham_masks(origin_cell: np.ndarray, end_cells: np.ndarray,
         dp(oc), dp(ec), u8p(v), len(ec), w, h, u8p(free), u8p(occ)
     )
     return free.reshape(h, w).astype(bool), occ.reshape(h, w).astype(bool)
+
+
+def karto_counts(origins: np.ndarray, endpoints: np.ndarray,
+                 valid: np.ndarray, grid_cfg, range_threshold: float,
+                 step_frac: float = 0.7,
+                 cell_eps: float = 1e-3) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-mission Karto pass/hit counters (CreateFromScans) on the host.
+
+    Mirrors ops/gridmap.karto_counts_update_scan in float32 (same ray
+    sampling, dedup chain, bounds and threshold semantics); requires the
+    native library. Returns (pass_cnt, hit_cnt) int32 (H, W)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    org = np.ascontiguousarray(origins, np.float32)
+    ends = np.ascontiguousarray(endpoints, np.float32)
+    v = np.ascontiguousarray(valid, np.uint8)
+    T, N = v.shape
+    H, W = grid_cfg.size_y, grid_cfg.size_x
+    pc = np.zeros(H * W, np.int32)
+    hc = np.zeros(H * W, np.int32)
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.ts_karto_counts(
+        _fp(org), _fp(ends),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        T, N,
+        float(grid_cfg.resolution), float(grid_cfg.origin_x),
+        float(grid_cfg.origin_y), W, H,
+        float(range_threshold), float(step_frac), float(cell_eps),
+        i32p(pc), i32p(hc),
+    )
+    return pc.reshape(H, W), hc.reshape(H, W)
+
+
+def _fp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 def decimate(ranges: np.ndarray, factor: int) -> np.ndarray:

@@ -100,6 +100,70 @@ void ts_bresenham_masks(const double* origin_cell,       // (2,) fractional
     if (occ_mask[c]) free_mask[c] = 0;
 }
 
+// Karto CreateFromScans pass/hit counters over a WHOLE mission
+// (RayTrace + UpdateCell, Karto.h:5852-5968), mirroring the device
+// rasterizer (ops/gridmap.karto_counts_update_scan) operation-for-
+// operation in float32: sub-resolution ray sampling at step_frac x res,
+// consecutive-duplicate dedup along each beam (the `uniq = idx != prev`
+// chain), free samples stopping one resolution short of the (range-
+// clipped) endpoint, endpoint counted iff the ORIGINAL range is within
+// the threshold. The host-native path for offline/publish map
+// regeneration — scatter-adds are the one primitive where XLA-on-TPU
+// loses to a scalar loop (superlinear scatter cost, see BENCHMARKS.md).
+void ts_karto_counts(const float* origins,    // (T, 2) world
+                     const float* endpoints,  // (T, N, 2) world
+                     const uint8_t* valid,    // (T, N)
+                     int64_t T, int64_t N,
+                     float res, float gox, float goy,
+                     int64_t W, int64_t H,
+                     float range_threshold, float step_frac, float cell_eps,
+                     int32_t* pass_cnt, int32_t* hit_cnt) {  // (H*W)
+  const float max_range = range_threshold;
+  const float step = res * step_frac;
+  const int64_t n_samples = (int64_t)(max_range / step) + 1;
+  const float inv_res = 1.0f / res;
+  const int64_t OOB = -1;
+  for (int64_t t = 0; t < T; ++t) {
+    const float ox = origins[2 * t], oy = origins[2 * t + 1];
+    for (int64_t b = 0; b < N; ++b) {
+      if (!valid[t * N + b]) continue;
+      const float ex = endpoints[(t * N + b) * 2];
+      const float ey = endpoints[(t * N + b) * 2 + 1];
+      const float dx = ex - ox, dy = ey - oy;
+      const float r = std::sqrt(dx * dx + dy * dy);
+      const float r_safe = std::max(r, 1e-9f);
+      const float dirx = dx / r_safe, diry = dy / r_safe;
+      const float r_clip = std::min(r, range_threshold);
+      const float lim = std::min(r_clip, max_range) - res;
+      int64_t prev = OOB - 1;  // anything unequal to a flat index or OOB
+      for (int64_t k = 0; k < n_samples; ++k) {
+        const float tk = (float)k * step;
+        int64_t flat = OOB;
+        if (tk < lim) {
+          const float px = ox + dirx * tk, py = oy + diry * tk;
+          const int64_t ix =
+              (int64_t)std::floor((px - gox) * inv_res + cell_eps);
+          const int64_t iy =
+              (int64_t)std::floor((py - goy) * inv_res + cell_eps);
+          if (ix >= 0 && ix < W && iy >= 0 && iy < H) flat = iy * W + ix;
+        }
+        if (flat != prev && flat != OOB) pass_cnt[flat] += 1;
+        prev = flat;
+      }
+      if (r <= range_threshold) {
+        const int64_t ix =
+            (int64_t)std::floor((ex - gox) * inv_res + cell_eps);
+        const int64_t iy =
+            (int64_t)std::floor((ey - goy) * inv_res + cell_eps);
+        if (ix >= 0 && ix < W && iy >= 0 && iy < H) {
+          pass_cnt[iy * W + ix] += 1;
+          hit_cnt[iy * W + ix] += 1;
+        }
+      }
+    }
+  }
+}
+
 // Min-filter decimation of a range scan: out[j] = min over the window
 // (keeps obstacles when downsampling beams for coarse pyramid levels).
 void ts_decimate(const float* ranges, int64_t n, int64_t factor, float* out) {
