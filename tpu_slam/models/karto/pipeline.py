@@ -361,7 +361,7 @@ class KartoSLAM:
         power-of-two (lanes, scans) footprint so compiles stay bounded. The
         world transform and view filter run inside the fused device program
         (CorrelativeMatcher._full_chains)."""
-        cap_c = {1: 1, 2: 2}.get(len(chains), 4)
+        cap_c = {1: 1, 2: 2}.get(len(chains), 4 if len(chains) <= 4 else 8)
         cap_s = self._bucket(max(len(c) for c in chains))
         # lasers may have different beam counts (one shape per registered
         # sensor); pad every record to the largest, invalid-padded
@@ -385,7 +385,7 @@ class KartoSLAM:
     def _match_chains(
         self, matcher: CorrelativeMatcher, rec: ScanRecord,
         chains: list[list[int]], center_pose: np.ndarray,
-        do_penalize=True, do_fine=True,
+        do_penalize=True, do_fine=True, group=4,
     ) -> list[MatchResult]:
         """Match ``rec`` against every chain — ONE device dispatch + ONE
         host sync per group of ≤4 chains (the reference runs one sequential
@@ -400,8 +400,8 @@ class KartoSLAM:
             self.scans[i].store_row < 0 for c in chains for i in c
         ):
             store = None  # restored-from-checkpoint records, not uploaded
-        for g0 in range(0, len(chains), 4):
-            grp = chains[g0 : g0 + 4]
+        for g0 in range(0, len(chains), group):
+            grp = chains[g0 : g0 + group]
             if store is not None:
                 poses, idx, lane_valid = self._chain_batch_indices(grp)
                 r = matcher.match_chains_store(
@@ -428,7 +428,7 @@ class KartoSLAM:
     def _chain_batch_indices(self, chains: list[list[int]]):
         """Store-row form of _chain_batch_inputs: (C, S) row indices
         (−1 = padded) + (C, S, 3) poses."""
-        cap_c = {1: 1, 2: 2}.get(len(chains), 4)
+        cap_c = {1: 1, 2: 2}.get(len(chains), 4 if len(chains) <= 4 else 8)
         cap_s = self._bucket(max(len(c) for c in chains))
         poses = np.zeros((cap_c, cap_s, 3), np.float32)
         idx = np.full((cap_c, cap_s), -1, np.int32)
@@ -609,9 +609,12 @@ class KartoSLAM:
             if len(c) >= self.cfg.loop.loop_match_minimum_chain_size
         ]
         if chains:
+            # dense revisit areas surface many near chains at once; the
+            # small front-end grids afford 8 lanes per program, halving
+            # the dispatch+sync count exactly where missions grow
             results = self._match_chains(
                 self.front_matcher, rec, chains, rec.corrected_pose,
-                do_penalize=False,
+                do_penalize=False, group=8,
             )
             for chain, res in zip(chains, results):
                 if (
