@@ -400,17 +400,24 @@ class KartoSLAM:
             self.scans[i].store_row < 0 for c in chains for i in c
         ):
             store = None  # restored-from-checkpoint records, not uploaded
+        # two-phase: dispatch every group's device program first, then
+        # resolve — groups overlap on device and the host pays ONE sync
+        # round instead of one per group
+        pend = []
         for g0 in range(0, len(chains), group):
             grp = chains[g0 : g0 + group]
             if store is not None:
                 poses, idx, lane_valid = self._chain_batch_indices(grp)
-                r = matcher.match_chains_store(
-                    store.pts, store.valid, idx, poses,
-                    rec.pts_laser, rec.beam_valid,
-                    np.asarray(center_pose, np.float32),
-                    do_penalize=do_penalize, do_fine=do_fine,
-                    lane_valid=lane_valid,
-                )
+                pend.append((
+                    grp,
+                    matcher.match_chains_store_async(
+                        store.pts, store.valid, idx, poses,
+                        rec.pts_laser, rec.beam_valid,
+                        np.asarray(center_pose, np.float32),
+                        do_penalize=do_penalize, do_fine=do_fine,
+                        lane_valid=lane_valid,
+                    ),
+                ))
             else:
                 poses, pts, valid, lane_valid = self._chain_batch_inputs(grp)
                 r = matcher.match_chains(
@@ -419,6 +426,10 @@ class KartoSLAM:
                     do_penalize=do_penalize, do_fine=do_fine,
                     lane_valid=lane_valid,
                 )
+                pend.append((grp, r))
+        for grp, r in pend:
+            if hasattr(r, "resolve"):
+                r = r.resolve()
             for k in range(len(grp)):
                 out.append(
                     MatchResult(r.pose[k], r.response[k], r.covariance[k])
@@ -662,23 +673,22 @@ class KartoSLAM:
             else:
                 break
 
-    def _find_possible_loop(self, sid: int, start: int, sensor: str):
+    def _find_possible_loop(self, sid: int, start: int, sensor: str,
+                            gather_state=None):
         """FindPossibleLoopClosure (Mapper.cpp:1333-1394): candidate chains
         come from ``sensor``'s scan list (GetScans(rSensorName) — the caller
         iterates all registered sensors, Mapper.cpp:2064-2069); ``start`` is
         a seq index into that list. Returns (chain of global ids,
-        next_start)."""
+        next_start).
+
+        gather_state: optional precomputed (near_linked set, in_range mask)
+        — constant within one candidate-gather pass (poses only change when
+        a closure succeeds, and the caller re-gathers then), so hoisting it
+        turns O(candidates) BFS+refs recomputation into one per pass."""
         lp = self.cfg.loop
-        refs = self._all_ref_positions()
-        near_linked = set(
-            self._near_linked_scans(
-                sid, lp.loop_search_maximum_distance, refs
-            )
-        )
-        in_range = (
-            np.sum((refs - refs[sid]) ** 2, axis=-1)
-            < lp.loop_search_maximum_distance**2 + 1e-6
-        )
+        if gather_state is None:
+            gather_state = self._loop_gather_state(sid)
+        near_linked, in_range = gather_state
         slist = self.sensors[sensor].scan_ids
         chain = []
         n = len(slist)
@@ -699,6 +709,21 @@ class KartoSLAM:
             chain if len(chain) >= lp.loop_match_minimum_chain_size else [],
             n,
         )
+
+    def _loop_gather_state(self, sid: int):
+        """(near_linked, in_range) for one loop-candidate gather pass."""
+        lp = self.cfg.loop
+        refs = self._all_ref_positions()
+        near_linked = set(
+            self._near_linked_scans(
+                sid, lp.loop_search_maximum_distance, refs
+            )
+        )
+        in_range = (
+            np.sum((refs - refs[sid]) ** 2, axis=-1)
+            < lp.loop_search_maximum_distance**2 + 1e-6
+        )
+        return near_linked, in_range
 
     def _correct_poses(self):
         """CorrectPoses (Mapper.cpp:1397-1414): solve + write back.
@@ -769,8 +794,11 @@ class KartoSLAM:
                 # (host only)
                 cands = []
                 s = start
+                gs = self._loop_gather_state(sid)
                 while True:
-                    chain, s = self._find_possible_loop(sid, s, sname)
+                    chain, s = self._find_possible_loop(
+                        sid, s, sname, gather_state=gs
+                    )
                     if not chain:
                         break
                     cands.append((chain, s))

@@ -794,6 +794,28 @@ class CorrelativeMatcher:
     ) -> MatchResult:
         """match_chains against the device-resident store: identical
         semantics, only chain INDICES cross the link."""
+        return self.match_chains_store_async(
+            store_pts, store_valid, chain_idx, base_poses, scan_pts_laser,
+            beam_valid, scan_pose, do_penalize, do_fine, lane_valid,
+        ).resolve()
+
+    def match_chains_store_async(
+        self,
+        store_pts,
+        store_valid,
+        chain_idx,
+        base_poses,
+        scan_pts_laser,
+        beam_valid,
+        scan_pose,
+        do_penalize: bool = True,
+        do_fine: bool = True,
+        lane_valid: np.ndarray | None = None,
+    ) -> "PendingChainMatch":
+        """Dispatch form of match_chains_store: enqueues the device program
+        and returns a handle; `.resolve()` fetches + post-processes. Lets a
+        caller with several chain groups overlap their device executions
+        and pay ONE host sync round instead of one per group."""
         p = self.p
         C, S = (int(d) for d in np.shape(chain_idx))
         N = int(scan_pts_laser.shape[-2])
@@ -811,35 +833,13 @@ class CorrelativeMatcher:
                 ]
             )
 
-        out = np.asarray(
-            self._full_chains_store(
-                C, S, N, cap, p.angle_offset, do_penalize, do_fine
-            )(store_pts, store_valid, pack(base_poses, chain_idx))
+        out_dev = self._full_chains_store(
+            C, S, N, cap, p.angle_offset, do_penalize, do_fine
+        )(store_pts, store_valid, pack(base_poses, chain_idx))
+        return PendingChainMatch(
+            self, out_dev, pack, store_pts, store_valid, base_poses,
+            chain_idx, S, N, cap, do_penalize, do_fine, lane_valid,
         )
-        poses = out[:, :3].astype(np.float64)
-        resps = out[:, 3].copy()
-        covs = out[:, 4:].reshape(C, 3, 3).astype(np.float64)
-        if self.use_response_expansion:
-            lanes = np.ones(C, bool) if lane_valid is None else np.asarray(
-                lane_valid, bool
-            )
-            for k in np.nonzero(lanes & (resps < KT_TOLERANCE))[0]:
-                buf1 = pack(base_poses[k : k + 1], chain_idx[k : k + 1])
-                angle_offset = p.angle_offset
-                for _ in range(3):  # rare path: widen per failing lane
-                    angle_offset += math.radians(20.0)
-                    o1 = np.asarray(
-                        self._full_chains_store(
-                            1, S, N, cap, round(angle_offset, 6),
-                            do_penalize, do_fine,
-                        )(store_pts, store_valid, buf1)
-                    )[0]
-                    if o1[3] >= KT_TOLERANCE:
-                        break
-                poses[k] = o1[:3]
-                resps[k] = o1[3]
-                covs[k] = o1[4:].reshape(3, 3)
-        return MatchResult(poses, resps, covs)
 
     @staticmethod
     def _pack_chain_buf(
@@ -939,6 +939,55 @@ class CorrelativeMatcher:
                             1, S, N, round(angle_offset, 6), do_penalize,
                             do_fine,
                         )(buf1)
+                    )[0]
+                    if o1[3] >= KT_TOLERANCE:
+                        break
+                poses[k] = o1[:3]
+                resps[k] = o1[3]
+                covs[k] = o1[4:].reshape(3, 3)
+        return MatchResult(poses, resps, covs)
+
+
+class PendingChainMatch:
+    """In-flight chain-group match (device arrays not yet fetched)."""
+
+    def __init__(self, m, out_dev, pack, store_pts, store_valid, base_poses,
+                 chain_idx, S, N, cap, do_penalize, do_fine, lane_valid):
+        self._m = m
+        self._out = out_dev
+        self._pack = pack
+        self._args = (store_pts, store_valid, base_poses, chain_idx)
+        self._shape = (S, N, cap)
+        self._opts = (do_penalize, do_fine)
+        self._lanes = lane_valid
+
+    def resolve(self) -> MatchResult:
+        m = self._m
+        store_pts, store_valid, base_poses, chain_idx = self._args
+        S, N, cap = self._shape
+        do_penalize, do_fine = self._opts
+        out = np.asarray(self._out)
+        C = out.shape[0]
+        poses = out[:, :3].astype(np.float64)
+        resps = out[:, 3].copy()
+        covs = out[:, 4:].reshape(C, 3, 3).astype(np.float64)
+        if m.use_response_expansion:
+            lanes = (
+                np.ones(C, bool) if self._lanes is None
+                else np.asarray(self._lanes, bool)
+            )
+            for k in np.nonzero(lanes & (resps < KT_TOLERANCE))[0]:
+                buf1 = self._pack(
+                    base_poses[k : k + 1], chain_idx[k : k + 1]
+                )
+                angle_offset = m.p.angle_offset
+                for _ in range(3):  # rare path: widen per failing lane
+                    angle_offset += math.radians(20.0)
+                    o1 = np.asarray(
+                        m._full_chains_store(
+                            1, S, N, cap, round(angle_offset, 6),
+                            do_penalize, do_fine,
+                        )(store_pts, store_valid, buf1)
                     )[0]
                     if o1[3] >= KT_TOLERANCE:
                         break
