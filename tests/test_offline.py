@@ -136,3 +136,55 @@ def test_offline_slam_sharded_matches_unsharded():
     )
     assert len(sharded.loops) == len(base.loops)
     np.testing.assert_allclose(sharded.poses, base.poses, atol=5e-4)
+
+
+def test_offline_undistortion_mission():
+    """Lesson5 capability in the offline pipeline: whole-mission batched
+    undistortion (one device call) equals the per-scan op, and feeding the
+    corrected points to offline_slam beats matching raw distorted scans
+    under fast rotation."""
+    import jax.numpy as jnp
+
+    from tpu_slam.config import ScanConfig
+    from tpu_slam.data.scan import index_scan
+    from tpu_slam.models.offline import undistort_mission
+    from tpu_slam.ops.undistort import undistort_scan
+
+    cfg = default_config()
+    scfg = ScanConfig(num_beams=180)
+    cfg = dataclasses.replace(cfg, scan=scfg)
+    world = sim.office_world(seed=5)
+    T = 16
+    traj = sim.circle_trajectory(T, radius=1.5, angular_rate=1.5)
+    seq = sim.simulate_sequence(
+        world, traj, scfg, noise_std=0.0, seed=1, motion_distortion=True,
+        imu_rate_hz=500.0, odom_rate_hz=200.0,
+    )
+    scans = make_scan(seq.ranges, scfg, stamp=seq.stamps.astype(np.float32))
+
+    corrected = undistort_mission(
+        scans, seq.imu_stamps, seq.imu_omega, seq.odom_stamps,
+        seq.odom_poses,
+    )
+    # batched call == per-scan op
+    one = np.asarray(
+        undistort_scan(
+            index_scan(scans, 5),
+            jnp.asarray(seq.imu_stamps, jnp.float32),
+            jnp.asarray(seq.imu_omega, jnp.float32),
+            jnp.asarray(seq.odom_stamps, jnp.float32),
+            jnp.asarray(seq.odom_poses, jnp.float32),
+        )
+    )
+    v5 = np.asarray(scans.valid)[5]
+    np.testing.assert_allclose(
+        corrected[5][v5], one[v5], atol=1e-5
+    )
+
+    raw = offline_slam(scans, cfg, odom=seq.gt_poses)
+    fixed = offline_slam(
+        scans, cfg, odom=seq.gt_poses, corrected_pts=corrected
+    )
+    ate_raw = ate_rmse(raw.chain_poses, seq.gt_poses)
+    ate_fix = ate_rmse(fixed.chain_poses, seq.gt_poses)
+    assert ate_fix < ate_raw * 0.5, (ate_raw, ate_fix)

@@ -244,14 +244,54 @@ def consistent_loop_set(
     return keep
 
 
+def undistort_mission(
+    scans: Scan,
+    imu_stamps,
+    imu_omega,
+    odom_stamps,
+    odom_poses,
+    use_imu: bool = True,
+    use_odom: bool = True,
+) -> np.ndarray:
+    """Motion-distortion correction for a WHOLE mission in one batched
+    device call (the lesson5 capability, ops/undistort.undistort_scan,
+    vectorized over the scan axis) — feed the result to
+    ``offline_slam(corrected_pts=...)``. Returns (T, N, 2) float32 with
+    invalid beams zeroed."""
+    import jax
+
+    from tpu_slam.ops.undistort import undistort_scan
+
+    pts = np.asarray(
+        jax.jit(undistort_scan, static_argnames=("use_imu", "use_odom"))(
+            scans,
+            jnp.asarray(imu_stamps, jnp.float32),
+            jnp.asarray(imu_omega, jnp.float32),
+            jnp.asarray(odom_stamps, jnp.float32),
+            jnp.asarray(odom_poses, jnp.float32),
+            use_imu=use_imu,
+            use_odom=use_odom,
+        ),
+        np.float32,
+    )
+    pts = np.where(np.asarray(scans.valid)[..., None], pts, 0.0)
+    pts[~np.isfinite(pts)] = 0.0
+    return pts
+
+
 def offline_slam(
     scans: Scan,
     cfg: SLAMConfig,
     odom: np.ndarray | None = None,
     mesh=None,
     timer=None,
+    corrected_pts: np.ndarray | None = None,
 ) -> OfflineResult:
-    """Run the full offline pipeline; see module docstring."""
+    """Run the full offline pipeline; see module docstring.
+
+    corrected_pts: optional (T, N, 2) laser-frame points to match instead
+    of the raw polar→Cartesian conversion — e.g. the output of
+    :func:`undistort_mission` (motion-distortion-corrected beams)."""
     from tpu_slam.utils.profiling import StageTimer
 
     timer = timer if timer is not None else StageTimer()
@@ -259,16 +299,21 @@ def offline_slam(
     # polar→Cartesian on host: eager device ops would pay a compile+RTT per
     # op over a remote device link; the whole pipeline touches the device
     # only through its jitted batched programs
-    ranges = np.asarray(scans.ranges)
-    angles = np.asarray(scans.angles)
     valid = np.asarray(scans.valid)
-    pts = np.where(
-        valid[..., None],
-        np.stack(
-            [ranges * np.cos(angles), ranges * np.sin(angles)], axis=-1
-        ),
-        0.0,
-    ).astype(np.float32)
+    if corrected_pts is not None:
+        pts = np.where(
+            valid[..., None], np.asarray(corrected_pts, np.float32), 0.0
+        )
+    else:
+        ranges = np.asarray(scans.ranges)
+        angles = np.asarray(scans.angles)
+        pts = np.where(
+            valid[..., None],
+            np.stack(
+                [ranges * np.cos(angles), ranges * np.sin(angles)], axis=-1
+            ),
+            0.0,
+        ).astype(np.float32)
     pts[~np.isfinite(pts)] = 0.0
     T = pts.shape[0]
     if T < 2:
