@@ -377,10 +377,16 @@ def offline_slam(
             np.float64,
         )
 
-    def _build_solver(loop_edges: list[LoopEdge]) -> PoseGraphSolver:
+    def _build_solver(
+        loop_edges: list[LoopEdge], init_poses: np.ndarray
+    ) -> PoseGraphSolver:
+        # nodes start from the CURRENT estimate (warm start): the edge set
+        # defines the optimum, but later rounds converge in far fewer LM
+        # iterations from the previous round's solution than from the raw
+        # chain
         s = PoseGraphSolver(cfg.solver)
         for k in range(T):
-            s.add_node(k, chain_poses[k])
+            s.add_node(k, init_poses[k])
         for k in range(T - 1):
             s.add_constraint(
                 k, k + 1, chain_rels[k], covariance=chain_covs[k]
@@ -392,7 +398,7 @@ def offline_slam(
     seeds = _seed_lattice(ocfg)
     S = seeds.shape[0]
     poses = chain_poses
-    solver = _build_solver([])
+    solver = _build_solver([], chain_poses)
     candidates_all: list[LoopEdge] = []  # gate-passing edges (pre-PCM)
     loops: list[LoopEdge] = []  # the consistent set fed to the solver
     tried: set[tuple[int, int]] = set()
@@ -494,7 +500,7 @@ def offline_slam(
 
         # 6. global solve (device-resident LM) ----------------------------
         with timer.stage("solve"):
-            solver = _build_solver(loops)
+            solver = _build_solver(loops, poses)
             solver.compute()
             poses = solver.get_poses()
 
