@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_slam import geometry as geo
+from tpu_slam import geometry_np as gnp
 from tpu_slam.config import SLAMConfig
 from tpu_slam.data.scan import Scan
 from tpu_slam.parallel.distributed_step import (
@@ -148,33 +149,6 @@ def _loop_candidates(
     return picked
 
 
-def _np_compose(a, b):
-    """Batched SE(2) composition on numpy arrays (..., 3)."""
-    c, s = np.cos(a[..., 2]), np.sin(a[..., 2])
-    return np.stack(
-        [
-            a[..., 0] + c * b[..., 0] - s * b[..., 1],
-            a[..., 1] + s * b[..., 0] + c * b[..., 1],
-            np.arctan2(
-                np.sin(a[..., 2] + b[..., 2]), np.cos(a[..., 2] + b[..., 2])
-            ),
-        ],
-        axis=-1,
-    )
-
-
-def _np_inverse(a):
-    c, s = np.cos(a[..., 2]), np.sin(a[..., 2])
-    return np.stack(
-        [
-            -(c * a[..., 0] + s * a[..., 1]),
-            -(-s * a[..., 0] + c * a[..., 1]),
-            -a[..., 2],
-        ],
-        axis=-1,
-    )
-
-
 def consistent_loop_set(
     loops: list[LoopEdge],
     poses: np.ndarray,
@@ -208,13 +182,13 @@ def consistent_loop_set(
     covs = np.stack([e.covariance for e in loops])  # (C, 3, 3)
 
     # Q_e = P_{i_e} · T_e : the edge's claim for pose j_e in world frame
-    Q = _np_compose(poses[ci], Tm)
+    Q = gnp.compose(poses[ci], Tm)
     # cycle C_ab = rel(Q_a, Q_b) ∘ rel(P_{j_b}, P_{j_a})
-    relQ = _np_compose(_np_inverse(Q)[:, None, :], Q[None, :, :])  # (C,C,3)
-    relP = _np_compose(
-        _np_inverse(poses[cj])[None, :, :], poses[cj][:, None, :]
+    relQ = gnp.compose(gnp.inverse(Q)[:, None, :], Q[None, :, :])  # (C,C,3)
+    relP = gnp.compose(
+        gnp.inverse(poses[cj])[None, :, :], poses[cj][:, None, :]
     )  # (C,C,3): [a, b] = rel(P_{j_b}, P_{j_a})
-    cyc = _np_compose(relQ, relP)
+    cyc = gnp.compose(relQ, relP)
 
     d2xy = cyc[..., 0] ** 2 + cyc[..., 1] ** 2
     dth = np.arctan2(np.sin(cyc[..., 2]), np.cos(cyc[..., 2]))
@@ -325,7 +299,7 @@ def offline_slam(
     # 1. consecutive odometry chain, one batched call --------------------
     if odom is not None:
         odom = np.asarray(odom, np.float64)
-        guesses = _np_compose(_np_inverse(odom[:-1]), odom[1:]).astype(
+        guesses = gnp.compose(gnp.inverse(odom[:-1]), odom[1:]).astype(
             np.float32
         )
     else:
@@ -415,8 +389,8 @@ def offline_slam(
         # 4. multi-start batched loop matching ---------------------------
         ci = np.fromiter((c[0] for c in cands), np.int64, C)
         cj = np.fromiter((c[1] for c in cands), np.int64, C)
-        rel_pred = _np_compose(
-            _np_inverse(poses[ci]), poses[cj]
+        rel_pred = gnp.compose(
+            gnp.inverse(poses[ci]), poses[cj]
         ).astype(np.float32)
         g = rel_pred[:, None, :] + seeds[None, :, :]  # (C, S, 3)
         B = C * S
