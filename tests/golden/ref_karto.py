@@ -1,0 +1,297 @@
+"""ctypes wrapper over the REAL reference open_karto library.
+
+The shared library is compiled from the unmodified reference sources
+(`/root/reference/lesson6/lib/open_karto/src/{Karto,Mapper}.cpp`) by
+`parity/Makefile`; see `parity/karto_harness.cpp` for the C API. Golden-parity
+tests feed identical inputs to this wrapper and to tpu_slam and assert the
+outputs agree — converting every PARITY.md claim from self-certified to
+verified against the actual C++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+PARITY_DIR = Path(__file__).resolve().parents[2] / "parity"
+LIB_PATH = PARITY_DIR / "build" / "libkarto_ref.so"
+
+_lib = None
+
+COMPUTE_FN = ctypes.CFUNCTYPE(
+    None,
+    ctypes.c_void_p,  # ctx
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+    ctypes.POINTER(ctypes.c_double),
+)
+
+
+def build() -> bool:
+    """Build the reference library if missing. Returns availability."""
+    if LIB_PATH.exists():
+        return True
+    try:
+        subprocess.run(
+            ["make", "-j4", "build/libkarto_ref.so"],
+            cwd=PARITY_DIR, check=True, capture_output=True, timeout=600,
+        )
+    except Exception:
+        return False
+    return LIB_PATH.exists()
+
+
+def load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not build():
+        return None
+    lib = ctypes.CDLL(str(LIB_PATH))
+    d, i, vp, c = ctypes.c_double, ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p
+    dp, ip = ctypes.POINTER(d), ctypes.POINTER(i)
+    lib.km_new.restype = vp
+    lib.km_new.argtypes = [d] * 9
+    lib.km_free.argtypes = [vp]
+    lib.km_set_param.restype = i
+    lib.km_set_param.argtypes = [vp, c, d]
+    lib.km_set_compute_fn.argtypes = [vp, COMPUTE_FN, vp]
+    lib.km_process.restype = i
+    lib.km_process.argtypes = [vp, dp, i, d, d, d]
+    lib.km_num_scans.restype = i
+    lib.km_num_scans.argtypes = [vp]
+    lib.km_get_poses.argtypes = [vp, dp]
+    lib.km_num_nodes.restype = i
+    lib.km_num_nodes.argtypes = [vp]
+    lib.km_num_edges.restype = i
+    lib.km_num_edges.argtypes = [vp]
+    lib.km_num_compute_calls.restype = i
+    lib.km_num_compute_calls.argtypes = [vp]
+    lib.km_get_graph.argtypes = [vp, ip, dp, ip, ip, dp, dp]
+    lib.km_match_scan.restype = d
+    lib.km_match_scan.argtypes = [vp, dp, i, d, d, d, dp, dp, i, i, i, dp, dp]
+    lib.km_occupancy_grid.restype = vp
+    lib.km_occupancy_grid.argtypes = [
+        vp, dp, dp, i, i, d, ip, ip, dp, dp,
+    ]
+    lib.km_grid_read.argtypes = [vp, ctypes.POINTER(ctypes.c_ubyte)]
+    lib.km_grid_free.argtypes = [vp]
+    _lib = lib
+    return lib
+
+
+def _dptr(a: np.ndarray):
+    return np.ascontiguousarray(a, np.float64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_double)
+    )
+
+
+class RefMapper:
+    """One reference Mapper + laser + recording solver instance."""
+
+    def __init__(self, scan_cfg, laser_offset=(0.0, 0.0, 0.0)):
+        self.lib = load()
+        assert self.lib is not None, "reference library unavailable"
+        n = scan_cfg.num_beams
+        max_angle = scan_cfg.angle_min + scan_cfg.angle_increment * (n - 1)
+        self._h = self.lib.km_new(
+            laser_offset[0], laser_offset[1], laser_offset[2],
+            scan_cfg.range_min, scan_cfg.range_max,
+            scan_cfg.angle_min, max_angle, scan_cfg.angle_increment,
+            scan_cfg.range_threshold,
+        )
+        self.n_beams = n
+        self._cb_keepalive = None
+
+    def close(self):
+        if self._h is not None:
+            self.lib.km_free(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def set_param(self, name: str, value) -> None:
+        rc = self.lib.km_set_param(self._h, name.encode(), float(value))
+        if rc != 0:
+            raise KeyError(name)
+
+    def configure(self, cfg) -> None:
+        """Push a tpu_slam SLAMConfig's mapper parameters into the reference
+        Mapper (the inverse of the defaults table in tpu_slam/config.py)."""
+        k, c, lp = cfg.karto, cfg.correlative, cfg.loop
+        self.set_param("UseScanMatching", k.use_scan_matching)
+        self.set_param("UseScanBarycenter", k.use_scan_barycenter)
+        self.set_param("MinimumTimeInterval", k.minimum_time_interval)
+        self.set_param("MinimumTravelDistance", k.minimum_travel_distance)
+        self.set_param("MinimumTravelHeading", k.minimum_travel_heading)
+        self.set_param("ScanBufferSize", k.scan_buffer_size)
+        self.set_param(
+            "ScanBufferMaximumScanDistance", k.scan_buffer_maximum_scan_distance
+        )
+        self.set_param(
+            "LinkMatchMinimumResponseFine", k.link_match_minimum_response_fine
+        )
+        self.set_param("LinkScanMaximumDistance", k.link_scan_maximum_distance)
+        self.set_param("DoLoopClosing", k.do_loop_closing)
+        self.set_param(
+            "LoopSearchMaximumDistance", lp.loop_search_maximum_distance
+        )
+        self.set_param(
+            "LoopMatchMinimumChainSize", lp.loop_match_minimum_chain_size
+        )
+        self.set_param(
+            "LoopMatchMaximumVarianceCoarse", lp.loop_match_maximum_variance_coarse
+        )
+        self.set_param(
+            "LoopMatchMinimumResponseCoarse", lp.loop_match_minimum_response_coarse
+        )
+        self.set_param(
+            "LoopMatchMinimumResponseFine", lp.loop_match_minimum_response_fine
+        )
+        self.set_param(
+            "CorrelationSearchSpaceDimension", c.correlation_search_space_dimension
+        )
+        self.set_param(
+            "CorrelationSearchSpaceResolution", c.correlation_search_space_resolution
+        )
+        self.set_param(
+            "CorrelationSearchSpaceSmearDeviation",
+            c.correlation_search_space_smear_deviation,
+        )
+        self.set_param(
+            "LoopSearchSpaceDimension", lp.loop_search_space_dimension
+        )
+        self.set_param(
+            "LoopSearchSpaceResolution", lp.loop_search_space_resolution
+        )
+        self.set_param(
+            "LoopSearchSpaceSmearDeviation", lp.loop_search_space_smear_deviation
+        )
+        self.set_param("DistanceVariancePenalty", c.distance_variance_penalty)
+        self.set_param("AngleVariancePenalty", c.angle_variance_penalty)
+        self.set_param("FineSearchAngleOffset", c.fine_search_angle_offset)
+        self.set_param("CoarseSearchAngleOffset", c.coarse_search_angle_offset)
+        self.set_param("CoarseAngleResolution", c.coarse_angle_resolution)
+        self.set_param("MinimumAnglePenalty", c.minimum_angle_penalty)
+        self.set_param("MinimumDistancePenalty", c.minimum_distance_penalty)
+        self.set_param("UseResponseExpansion", c.use_response_expansion)
+
+    def set_solver(self, solve_fn) -> None:
+        """Hook a Python pose-graph solver into the reference Mapper's
+        ScanSolver slot. solve_fn(node_ids, node_poses(N,3), src(M,), tgt(M,),
+        means(M,3), covs(M,3,3)) -> corrected (N,3) in node order."""
+
+        def cb(_ctx, node_poses, node_ids, n, src, tgt, means, covs, m, out):
+            ids = np.ctypeslib.as_array(node_ids, (n,)).copy()
+            poses = np.ctypeslib.as_array(node_poses, (n * 3,)).reshape(n, 3).copy()
+            s = np.ctypeslib.as_array(src, (m,)).copy()
+            t = np.ctypeslib.as_array(tgt, (m,)).copy()
+            mu = np.ctypeslib.as_array(means, (m * 3,)).reshape(m, 3).copy()
+            cv = np.ctypeslib.as_array(covs, (m * 9,)).reshape(m, 3, 3).copy()
+            corrected = np.asarray(solve_fn(ids, poses, s, t, mu, cv), np.float64)
+            assert corrected.shape == (n, 3)
+            ctypes.memmove(
+                out, np.ascontiguousarray(corrected).ctypes.data, n * 3 * 8
+            )
+
+        self._cb_keepalive = COMPUTE_FN(cb)
+        self.lib.km_set_compute_fn(self._h, self._cb_keepalive, None)
+
+    def process(self, ranges: np.ndarray, odom_pose) -> bool:
+        r = np.ascontiguousarray(ranges, np.float64)
+        assert r.shape == (self.n_beams,)
+        return bool(
+            self.lib.km_process(
+                self._h, r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                self.n_beams,
+                float(odom_pose[0]), float(odom_pose[1]), float(odom_pose[2]),
+            )
+        )
+
+    def poses(self) -> np.ndarray:
+        n = self.lib.km_num_scans(self._h)
+        out = np.zeros(n * 3, np.float64)
+        self.lib.km_get_poses(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        )
+        return out.reshape(n, 3)
+
+    @property
+    def compute_calls(self) -> int:
+        return self.lib.km_num_compute_calls(self._h)
+
+    def graph(self):
+        n = self.lib.km_num_nodes(self._h)
+        m = self.lib.km_num_edges(self._h)
+        ids = np.zeros(n, np.int32)
+        poses = np.zeros(n * 3, np.float64)
+        src = np.zeros(m, np.int32)
+        tgt = np.zeros(m, np.int32)
+        means = np.zeros(m * 3, np.float64)
+        covs = np.zeros(m * 9, np.float64)
+        ip = ctypes.POINTER(ctypes.c_int)
+        dp = ctypes.POINTER(ctypes.c_double)
+        self.lib.km_get_graph(
+            self._h,
+            ids.ctypes.data_as(ip), poses.ctypes.data_as(dp),
+            src.ctypes.data_as(ip), tgt.ctypes.data_as(ip),
+            means.ctypes.data_as(dp), covs.ctypes.data_as(dp),
+        )
+        return (
+            ids, poses.reshape(n, 3), src, tgt,
+            means.reshape(m, 3), covs.reshape(m, 3, 3),
+        )
+
+    def match_scan(
+        self, q_ranges, q_pose, base_ranges, base_poses,
+        penalize=True, refine=True,
+    ):
+        """ScanMatcher::MatchScan → (response, mean(3,), cov(3,3))."""
+        q = np.ascontiguousarray(q_ranges, np.float64)
+        br = np.ascontiguousarray(base_ranges, np.float64)
+        bp = np.ascontiguousarray(base_poses, np.float64)
+        n_base = br.shape[0]
+        mean = np.zeros(3, np.float64)
+        cov = np.zeros(9, np.float64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        resp = self.lib.km_match_scan(
+            self._h,
+            q.ctypes.data_as(dp), self.n_beams,
+            float(q_pose[0]), float(q_pose[1]), float(q_pose[2]),
+            br.ctypes.data_as(dp), bp.ctypes.data_as(dp), n_base,
+            1 if penalize else 0, 1 if refine else 0,
+            mean.ctypes.data_as(dp), cov.ctypes.data_as(dp),
+        )
+        return resp, mean, cov.reshape(3, 3)
+
+    def occupancy_grid(self, ranges, poses, resolution):
+        """OccupancyGrid::CreateFromScans → (cells uint8 (H,W), offset_xy)."""
+        r = np.ascontiguousarray(ranges, np.float64)
+        p = np.ascontiguousarray(poses, np.float64)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ox = ctypes.c_double()
+        oy = ctypes.c_double()
+        dp = ctypes.POINTER(ctypes.c_double)
+        g = self.lib.km_occupancy_grid(
+            self._h, r.ctypes.data_as(dp), p.ctypes.data_as(dp),
+            r.shape[0], self.n_beams, float(resolution),
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(ox), ctypes.byref(oy),
+        )
+        if not g:
+            return None, None
+        cells = np.zeros(h.value * w.value, np.uint8)
+        self.lib.km_grid_read(
+            g, cells.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        )
+        self.lib.km_grid_free(g)
+        return cells.reshape(h.value, w.value), np.array([ox.value, oy.value])
