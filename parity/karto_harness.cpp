@@ -16,7 +16,11 @@
 #include <set> // Mapper.h uses std::set without including it (the reference's
                // Mapper.cpp picks it up transitively)
 #include <open_karto/Karto.h>
+// test-only visibility hack: the harness exports a couple of private
+// ScanMatcher internals (FindValidPoints) for fine-grained golden tests
+#define private public
 #include <open_karto/Mapper.h>
+#undef private
 
 #include <cstring>
 #include <string>
@@ -103,6 +107,19 @@ class RecordingSolver : public ScanSolver
     virtual void AddConstraint(Edge<LocalizedRangeScan> *pEdge)
     {
         LinkInfo *pLinkInfo = (LinkInfo *)(pEdge->GetLabel());
+        if (getenv("KM_DEBUG_COV"))
+        {
+            Matrix3 c = pLinkInfo->GetCovariance();
+            double det =
+                c(0, 0) * (c(1, 1) * c(2, 2) - c(1, 2) * c(2, 1)) -
+                c(0, 1) * (c(1, 0) * c(2, 2) - c(1, 2) * c(2, 0)) +
+                c(0, 2) * (c(1, 0) * c(2, 1) - c(1, 1) * c(2, 0));
+            fprintf(stderr, "[cov] edge %d->%d det=%g diag=(%g,%g,%g) offd=(%g,%g,%g)\n",
+                    pEdge->GetSource()->GetObject()->GetUniqueId(),
+                    pEdge->GetTarget()->GetObject()->GetUniqueId(), det,
+                    c(0, 0), c(1, 1), c(2, 2), c(0, 1), c(0, 2), c(1, 2));
+            fflush(stderr);
+        }
         Pose2 diff = pLinkInfo->GetPoseDifference();
         Matrix3 cov = pLinkInfo->GetCovariance();
         EdgeRec rec;
@@ -333,6 +350,101 @@ double km_match_scan(void *hv,
     for (size_t i = 0; i < base.size(); i++)
         delete base[i];
     return response;
+}
+
+// Diagnostic: build the correlation grid exactly as MatchScan does (offset
+// centered on the query pose, AddScans over the base scans) and dump the raw
+// int8 data (widthStep-strided). out must hold height*widthStep bytes.
+// Returns widthStep; fills width/height.
+int km_correlation_grid(void *hv,
+                        double qx, double qy, double qth,
+                        const double *base_readings, const double *base_poses,
+                        int n_base, int n_beams,
+                        unsigned char *out, int *out_w, int *out_h)
+{
+    Harness *h = static_cast<Harness *>(hv);
+    ScanMatcher *matcher = ScanMatcher::Create(
+        h->mapper,
+        h->mapper->getParamCorrelationSearchSpaceDimension(),
+        h->mapper->getParamCorrelationSearchSpaceResolution(),
+        h->mapper->getParamCorrelationSearchSpaceSmearDeviation(),
+        h->laser->GetRangeThreshold());
+    LocalizedRangeScanVector base;
+    for (int i = 0; i < n_base; i++)
+        base.push_back(make_scan(h, base_readings + (size_t)i * n_beams, n_beams,
+                                 base_poses[i * 3], base_poses[i * 3 + 1], base_poses[i * 3 + 2]));
+    // MatchScan leaves the correlation grid in exactly the post-AddScans
+    // state (nothing later mutates it): run a match, then read the grid via
+    // the public GetCorrelationGrid accessor.
+    LocalizedRangeScan *query = make_scan(h, base_readings, n_beams, qx, qy, qth);
+    Pose2 mean;
+    Matrix3 cov;
+    matcher->MatchScan(query, base, mean, cov, true, false);
+    CorrelationGrid *cg = matcher->GetCorrelationGrid();
+    *out_w = cg->GetWidth();
+    *out_h = cg->GetHeight();
+    int ws = cg->GetWidthStep();
+    std::memcpy(out, cg->GetDataPointer(), (size_t)(*out_h) * ws);
+    delete matcher;
+    delete query;
+    for (size_t i = 0; i < base.size(); i++)
+        delete base[i];
+    return ws;
+}
+
+// Diagnostic: the reference's FindValidPoints (Mapper.cpp:765-813) on one
+// scan. Fills out_keep[n] with 1 where the beam's point was kept (points are
+// matched back to beams by exact world-coordinate equality). Returns the
+// number of kept points.
+int km_find_valid_points(void *hv,
+                         const double *readings, int n,
+                         double px, double py, double pth,
+                         double view_x, double view_y,
+                         unsigned char *out_keep)
+{
+    Harness *h = static_cast<Harness *>(hv);
+    ScanMatcher *matcher = ScanMatcher::Create(
+        h->mapper,
+        h->mapper->getParamCorrelationSearchSpaceDimension(),
+        h->mapper->getParamCorrelationSearchSpaceResolution(),
+        h->mapper->getParamCorrelationSearchSpaceSmearDeviation(),
+        h->laser->GetRangeThreshold());
+    LocalizedRangeScan *scan = make_scan(h, readings, n, px, py, pth);
+    PointVectorDouble kept =
+        matcher->FindValidPoints(scan, Vector2<kt_double>(view_x, view_y));
+    const PointVectorDouble &all = scan->GetPointReadings(false);
+    for (int i = 0; i < n; i++)
+        out_keep[i] = 0;
+    size_t j = 0;
+    // kept points appear in scan order: advance through the unfiltered list
+    for (size_t i = 0; i < all.size() && j < kept.size(); i++)
+    {
+        if (all[i].GetX() == kept[j].GetX() && all[i].GetY() == kept[j].GetY())
+        {
+            out_keep[i] = 1;
+            j++;
+        }
+    }
+    int cnt = static_cast<int>(kept.size());
+    delete matcher;
+    delete scan;
+    return cnt;
+}
+
+// Diagnostic: the reference's unfiltered world point readings
+// (LocalizedRangeScan::Update, Karto.h:5378-5404). out: n*2 doubles.
+void km_point_readings(void *hv, const double *readings, int n,
+                       double px, double py, double pth, double *out)
+{
+    Harness *h = static_cast<Harness *>(hv);
+    LocalizedRangeScan *scan = make_scan(h, readings, n, px, py, pth);
+    const PointVectorDouble &pts = scan->GetPointReadings(false);
+    for (size_t i = 0; i < pts.size() && (int)i < n; i++)
+    {
+        out[i * 2] = pts[i].GetX();
+        out[i * 2 + 1] = pts[i].GetY();
+    }
+    delete scan;
 }
 
 // --- OccupancyGrid::CreateFromScans (reference Karto.h:5659-6039) ---

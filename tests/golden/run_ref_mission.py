@@ -1,0 +1,59 @@
+"""Subprocess runner: full reference Mapper mission (abort-isolated).
+
+The assert-enabled reference aborts the whole process on an exactly-singular
+match covariance (Matrix3::Inverse, Karto.h:2444-2453 — reachable whenever a
+correlation keep-set is collinear). Running it here keeps the abort out of
+the pytest process; the parent detects the non-zero exit and skips.
+
+stdin/argv: in_npz out_npz [--with-solver]
+in_npz: ranges (T,N), odom (T,3), plus cfg knobs replicated from golden_cfg.
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    in_npz, out_npz = sys.argv[1], sys.argv[2]
+    with_solver = "--with-solver" in sys.argv
+
+    sys.path.insert(0, str(__file__).rsplit("/tests/", 1)[0])
+    from tests.golden.ref_karto import RefMapper
+    from tests.test_golden_karto import golden_cfg
+
+    z = np.load(in_npz)
+    ranges, odom = z["ranges"], z["odom"]
+    cfg = golden_cfg()
+    ref = RefMapper(cfg.scan)
+    ref.configure(cfg)
+
+    if with_solver:
+        from tpu_slam.solver.pose_graph import PoseGraphSolver
+
+        def solve_fn(ids, poses, src, tgt, means, covs):
+            solver = PoseGraphSolver(cfg.solver)
+            for i, v in enumerate(ids):
+                solver.add_node(int(v), poses[i])
+            for k in range(len(src)):
+                solver.add_constraint(
+                    int(src[k]), int(tgt[k]), means[k], covariance=covs[k]
+                )
+            solver.compute()
+            return solver.get_poses()
+
+        ref.set_solver(solve_fn)
+
+    accepted = [
+        t for t in range(len(ranges)) if ref.process(ranges[t], odom[t])
+    ]
+    np.savez(
+        out_npz,
+        accepted=np.asarray(accepted, np.int64),
+        poses=ref.poses(),
+        closures=np.asarray([ref.compute_calls], np.int64),
+    )
+
+
+if __name__ == "__main__":
+    main()

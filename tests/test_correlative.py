@@ -94,9 +94,10 @@ def test_response_paths_bit_identical():
     rng = np.random.default_rng(7)
     p = params(search=1.6, res=0.05, rng_th=3.0)
     g = p.grid_size
-    grid = jnp.asarray(
-        rng.integers(0, 101, size=(g, g), dtype=np.int32)
-    )
+    w8 = p.row_stride
+    grid_np = np.zeros((g, w8), np.int32)
+    grid_np[:, :g] = rng.integers(0, 101, size=(g, g), dtype=np.int32)
+    grid = jnp.asarray(grid_np)
     n = 96
     r = rng.uniform(0.3, 2.9, n)
     th = rng.uniform(-np.pi, np.pi, n)
@@ -115,12 +116,12 @@ def test_response_paths_bit_identical():
     )
     cells = np.arange(n_x) * stride + int(cand0[0])
     cand_flat = (
-        cells[:, None] * g + cells[None, :]
+        cells[:, None] * w8 + cells[None, :]
     ).reshape(-1).astype(np.int32)  # y-major (rows=y)
 
     gather = np.asarray(
         _responses_for_angles(
-            grid.reshape(-1), g, pts_cells, beam_valid, angles,
+            grid.reshape(-1), g, w8, pts_cells, beam_valid, angles,
             jnp.asarray(cand_flat),
         )
     )
@@ -183,7 +184,11 @@ def test_correlative_match_identity(match_setup):
     )
     err = np.asarray(res.pose) - pose_a
     assert abs(err[0]) < 0.015 and abs(err[1]) < 0.015
-    assert float(res.response) > 0.9
+    # responses normalize by the TOTAL beam count (reference GetResponse
+    # nPoints, Mapper.cpp:852), so invalid beams cap the self-match response
+    # at n_valid/n_total
+    frac_valid = float(np.asarray(base_valid).mean())
+    assert float(res.response) > 0.9 * frac_valid
 
 
 def test_response_expansion_recovers_large_rotation(match_setup):

@@ -1,0 +1,429 @@
+"""Golden-parity tests against the REAL reference open_karto C++.
+
+Every test here feeds bit-identical inputs to the reference library (compiled
+unmodified from /root/reference by parity/Makefile, see tests/golden/ref_karto)
+and to tpu_slam, then asserts the outputs agree. This replaces round-1's
+self-certified replicas with verification against the actual C++.
+
+Precision note: tpu_slam's device geometry is float32 (a deliberate TPU design
+choice); the reference computes world points in float64. A beam endpoint
+within ~1e-6 m of a cell boundary can therefore land in the neighboring cell
+(~0.1% of beams on adversarial geometry — the response INT arithmetic itself
+is exact given the same grid). Grid tests assert ≥99.9% cell equality; match
+tests use correspondingly tight tolerances.
+"""
+
+import ctypes
+import dataclasses
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_slam import geometry as geo
+from tpu_slam.config import default_config
+from tpu_slam.data import simulator as sim
+from tpu_slam.data.scan import index_scan, make_scan
+from tpu_slam.models.karto.pipeline import KartoSLAM
+from tpu_slam.ops import correlative as co
+
+from tests.golden import ref_karto
+
+pytestmark = pytest.mark.skipif(
+    ref_karto.load() is None, reason="reference library not buildable"
+)
+
+
+def golden_cfg():
+    cfg = default_config()
+    return dataclasses.replace(
+        cfg,
+        scan=dataclasses.replace(
+            cfg.scan, num_beams=180, range_max=6.0, range_threshold=5.0
+        ),
+        correlative=dataclasses.replace(
+            cfg.correlative,
+            correlation_search_space_resolution=0.02,
+            correlation_search_space_dimension=0.32,
+        ),
+        loop=dataclasses.replace(
+            cfg.loop,
+            loop_search_space_dimension=4.0,
+            loop_search_maximum_distance=3.0,
+            loop_match_minimum_chain_size=5,
+        ),
+    )
+
+
+ROT = 0.3791  # de-align the synthetic world: axis-aligned walls put beam
+SH = np.array([0.1234, 0.4567])  # endpoints EXACTLY on cell boundaries where
+# even the reference's own result depends on f64 ulps
+
+
+def rot_pose(p):
+    c, s = np.cos(ROT), np.sin(ROT)
+    return np.array(
+        [c * p[0] - s * p[1] + SH[0], s * p[0] + c * p[1] + SH[1], p[2] + ROT]
+    )
+
+
+@pytest.fixture(scope="module")
+def mission():
+    cfg = golden_cfg()
+    # feature-rich loop (boxes along every stretch): a pure corridor world
+    # yields EXACTLY singular match covariances in places (collinear
+    # response keep-set) on which the assert-enabled reference aborts in
+    # Matrix3::Inverse (Karto.h:2444-2453) — no golden value exists there
+    traj = sim.loop_trajectory(arm=9.0, width=2.6, speed=0.9)
+    world = sim.office_world(
+        seed=4, size=10.5, n_boxes=16, clear_path=traj, clearance=0.7
+    )
+    seq = sim.simulate_sequence(world, traj, cfg.scan, noise_std=0.004, seed=8)
+    # f32-quantize ranges so both sides start from bit-identical readings
+    ranges = np.asarray(seq.ranges, np.float32).astype(np.float64)
+    gt = np.stack([rot_pose(p) for p in seq.gt_poses])
+    scans = make_scan(
+        ranges.astype(np.float32), cfg.scan,
+        stamp=seq.stamps.astype(np.float32),
+    )
+    return cfg, ranges, gt, scans, seq
+
+
+def make_ref(cfg):
+    ref = ref_karto.RefMapper(cfg.scan)
+    ref.configure(cfg)
+    return ref
+
+
+def test_golden_find_valid_points(mission):
+    """find_valid_points == the reference's private FindValidPoints walk,
+    beam for beam (finite beams; the reference also 'keeps' inf points that
+    its own grid-bounds check then drops)."""
+    cfg, ranges, gt, scans, seq = mission
+    lib = ref_karto.load()
+    lib.km_find_valid_points.restype = ctypes.c_int
+    lib.km_find_valid_points.argtypes = (
+        [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+        + [ctypes.c_double] * 5
+        + [ctypes.POINTER(ctypes.c_ubyte)]
+    )
+    n_used = cfg.scan.num_beams - 1  # reference reading-count quirk
+    a64 = cfg.scan.angle_min + cfg.scan.angle_increment * np.arange(
+        n_used, dtype=np.float64
+    )
+    view = rot_pose(np.asarray(gt[42]))  # already rotated once in fixture;
+    view = gt[42]  # use the mission pose directly
+    with make_ref(cfg) as ref:
+        checked = 0
+        for t in range(0, 80, 4):
+            bp = gt[t]
+            r = ranges[t][:n_used]
+            keep_ref = np.zeros(n_used, np.uint8)
+            lib.km_find_valid_points(
+                ref._h,
+                np.ascontiguousarray(r).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_double)
+                ),
+                n_used, float(bp[0]), float(bp[1]), float(bp[2]),
+                float(view[0]), float(view[1]),
+                keep_ref.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            )
+            ang = bp[2] + a64
+            with np.errstate(invalid="ignore"):
+                pts = np.stack(
+                    [bp[0] + r * np.cos(ang), bp[1] + r * np.sin(ang)], -1
+                ).astype(np.float32)
+            finite = np.isfinite(r)
+            mine = np.asarray(
+                co.find_valid_points(
+                    jnp.asarray(pts), jnp.asarray(finite),
+                    jnp.asarray(view[:2], jnp.float32),
+                )
+            )
+            np.testing.assert_array_equal(
+                mine[finite], keep_ref.astype(bool)[finite],
+                err_msg=f"scan {t}",
+            )
+            checked += 1
+        assert checked == 20
+
+
+@pytest.fixture(scope="module")
+def match_inputs(mission):
+    cfg, ranges, gt, scans, seq = mission
+    base_ids = list(range(0, 40, 5))
+    q_t = 42
+    base_poses = gt[base_ids]
+    base_ranges = ranges[base_ids]
+    center = gt[q_t] + np.array([0.05, -0.03, 0.02])
+    slam = KartoSLAM(cfg)
+    for i, t in enumerate(base_ids):
+        rec = slam._make_record(index_scan(scans, t), base_poses[i], "laser0")
+        rec.corrected_pose = np.asarray(base_poses[i], np.float64)
+        slam.scans.append(rec)
+    rec_q = slam._make_record(index_scan(scans, q_t), center, "laser0")
+    return cfg, slam, rec_q, base_ids, base_poses, base_ranges, ranges[q_t], center
+
+
+def test_golden_correlation_grid(match_inputs):
+    """build_correlation_grid + find_valid_points vs the reference's
+    post-AddScans CorrelationGrid, cell for cell (f32-boundary flips
+    excepted, bounded at 0.1%)."""
+    cfg, slam, rec_q, base_ids, base_poses, base_ranges, q_r, center = (
+        match_inputs
+    )
+    lib = ref_karto.load()
+    lib.km_correlation_grid.restype = ctypes.c_int
+    lib.km_correlation_grid.argtypes = (
+        [ctypes.c_void_p] + [ctypes.c_double] * 3
+        + [ctypes.POINTER(ctypes.c_double)] * 2 + [ctypes.c_int] * 2
+        + [ctypes.POINTER(ctypes.c_ubyte)]
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+    )
+    p = slam.front_matcher.p
+    with make_ref(cfg) as ref:
+        buf = np.zeros(p.grid_size * p.row_stride + 64, np.uint8)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ws = lib.km_correlation_grid(
+            ref._h, *[float(v) for v in center],
+            np.ascontiguousarray(base_ranges).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)
+            ),
+            np.ascontiguousarray(base_poses).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)
+            ),
+            len(base_ids), cfg.scan.num_beams,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.byref(w), ctypes.byref(h),
+        )
+    assert (w.value, h.value, ws) == (p.grid_size, p.grid_size, p.row_stride)
+    ref_grid = buf[: h.value * ws].reshape(h.value, ws).astype(np.int32)
+
+    wp, keep = [], []
+    for rec, bp in zip(slam.scans, base_poses):
+        pts_w = np.asarray(
+            geo.apply(jnp.asarray(bp, jnp.float32), jnp.asarray(rec.pts_laser))
+        )
+        k = np.asarray(
+            co.find_valid_points(
+                jnp.asarray(pts_w), jnp.asarray(rec.beam_valid),
+                jnp.asarray(center[:2], jnp.float32),
+            )
+        )
+        wp.append(pts_w)
+        keep.append(k)
+    mine = np.asarray(
+        co.build_correlation_grid(
+            p, jnp.asarray(center[:2], jnp.float32),
+            jnp.asarray(np.concatenate(wp)), jnp.asarray(np.concatenate(keep)),
+        )
+    )
+    assert mine.shape == ref_grid.shape
+    diff = (mine != ref_grid).mean()
+    assert diff <= 1e-3, f"grid cells differing: {diff:.2e}"
+    # smear values agree exactly where occupancy agrees: kernel ints golden
+    both_occ = (mine == 100) & (ref_grid == 100)
+    assert both_occ.sum() >= 0.99 * (ref_grid == 100).sum()
+
+
+def test_golden_match_scan(match_inputs):
+    """ScanMatcher::MatchScan (coarse + fine + covariances) vs
+    CorrelativeMatcher on identical inputs."""
+    cfg, slam, rec_q, base_ids, base_poses, base_ranges, q_r, center = (
+        match_inputs
+    )
+    with make_ref(cfg) as ref:
+        r_resp, r_mean, r_cov = ref.match_scan(
+            q_r, center, base_ranges, base_poses
+        )
+    res = slam._match(
+        slam.front_matcher, rec_q, list(range(len(base_ids))), center
+    )
+    m_pose = np.asarray(res.pose, np.float64).reshape(3)
+    p = slam.front_matcher.p
+    # each f32 boundary-flipped occupied cell (≤2-3 per grid, see module
+    # docstring) can shift a response by ~100/(nBeams·100) ≈ 0.006
+    assert abs(float(res.response) - r_resp) < 1.5e-2
+    # pose within one fine step (grid-boundary flips can move the argmax by
+    # one fine cell); heading within one fine angle step
+    assert abs(m_pose[0] - r_mean[0]) <= p.resolution + 1e-6
+    assert abs(m_pose[1] - r_mean[1]) <= p.resolution + 1e-6
+    assert abs(m_pose[2] - r_mean[2]) <= p.fine_angle_offset + 1e-6
+    # covariance: the keep set (resp ≥ best − 0.1, Mapper.cpp:587) is a hard
+    # threshold — one f32-flipped borderline cell can swing a variance by
+    # ~10× — so only a gross sanity band here; the tight covariance golden
+    # is test_golden_match_scan_covariance_smooth (broad smear ⇒ the keep
+    # set is flip-insensitive)
+    m_cov = np.asarray(res.covariance, np.float64).reshape(3, 3)
+    for i in (0, 1):
+        assert 0.05 < m_cov[i, i] / r_cov[i, i] < 20.0, (i, m_cov, r_cov)
+    assert 0.05 < m_cov[2, 2] / r_cov[2, 2] < 20.0
+
+
+def test_golden_match_scan_covariance_smooth(mission):
+    """Covariance golden on a smooth response surface: broad smear keeps
+    MANY cells in the keep set, so single-cell f32 flips move the weighted
+    second moments by O(1/nKept) — the covariances must then agree closely."""
+    cfg, ranges, gt, scans, seq = mission
+    cfg2 = dataclasses.replace(
+        cfg,
+        correlative=dataclasses.replace(
+            cfg.correlative, correlation_search_space_smear_deviation=0.08
+        ),
+    )
+    base_ids = list(range(0, 60, 4))
+    q_t = 63
+    base_poses = gt[base_ids]
+    center = gt[q_t] + np.array([0.04, -0.02, 0.015])
+    slam = KartoSLAM(cfg2)
+    for i, t in enumerate(base_ids):
+        rec = slam._make_record(index_scan(scans, t), base_poses[i], "laser0")
+        rec.corrected_pose = np.asarray(base_poses[i], np.float64)
+        slam.scans.append(rec)
+    rec_q = slam._make_record(index_scan(scans, q_t), center, "laser0")
+    with make_ref(cfg2) as ref:
+        r_resp, r_mean, r_cov = ref.match_scan(
+            ranges[q_t], center, ranges[base_ids], base_poses
+        )
+    res = slam._match(
+        slam.front_matcher, rec_q, list(range(len(base_ids))), center
+    )
+    # broad smear: each f32-flipped endpoint cell perturbs a 17×17 kernel
+    # footprint, so the response tolerance is wider than the default-config
+    # test's — the point here is the COVARIANCE agreement
+    assert abs(float(res.response) - r_resp) < 4e-2
+    m_cov = np.asarray(res.covariance, np.float64).reshape(3, 3)
+    for i in (0, 1):
+        assert 0.6 < m_cov[i, i] / r_cov[i, i] < 1.7, (i, m_cov, r_cov)
+    assert 0.5 < m_cov[2, 2] / r_cov[2, 2] < 2.0, (m_cov, r_cov)
+
+
+def test_golden_front_end_trajectory(mission):
+    """Full Mapper::Process front-end (loop closing off) vs KartoSLAM on the
+    same odometry + scans: same accept decisions, same trajectory."""
+    cfg, ranges, gt, scans, seq = mission
+    cfg2 = dataclasses.replace(
+        cfg, karto=dataclasses.replace(cfg.karto, do_loop_closing=False)
+    )
+    n = 120
+    rng = np.random.default_rng(3)
+    odom = [gt[0].copy()]
+    for i in range(1, n):
+        d = np.asarray(
+            geo.relative(jnp.asarray(gt[i - 1]), jnp.asarray(gt[i])),
+            np.float64,
+        )
+        d[:2] += rng.normal(0, 0.004, 2)
+        d[2] += rng.normal(0, 0.001)
+        odom.append(
+            np.asarray(geo.compose(jnp.asarray(odom[-1]), jnp.asarray(d)))
+        )
+    odom = np.stack(odom).astype(np.float32).astype(np.float64)  # quantize
+
+    slam = KartoSLAM(cfg2)
+    acc_mine = []
+    for t in range(n):
+        if slam.process(index_scan(scans, t), odom[t]):
+            acc_mine.append(t)
+    with make_ref(cfg2) as ref:
+        acc_ref = [
+            t for t in range(n) if ref.process(ranges[t], odom[t])
+        ]
+        ref_poses = ref.poses()
+    assert acc_mine == acc_ref, (acc_mine, acc_ref)
+    mine_poses = np.stack(
+        [r.corrected_pose for r in slam.scans]
+    )
+    d = mine_poses - ref_poses
+    d[:, 2] = np.arctan2(np.sin(d[:, 2]), np.cos(d[:, 2]))
+    # every pose within ~2 coarse cells of the reference (accumulated f32
+    # boundary flips shift individual matches by one fine/coarse step), and
+    # on AVERAGE within half a correlation cell
+    # (a one-step match divergence propagates into all subsequent poses, so
+    # the mean reflects a few correlated stretches, not independent noise)
+    assert np.abs(d[:, :2]).max() < 0.09, np.abs(d[:, :2]).max()
+    assert np.abs(d[:, :2]).mean() < 0.025, np.abs(d[:, :2]).mean()
+    assert np.abs(d[:, 2]).max() < 0.02, np.abs(d[:, 2]).max()
+
+
+def test_golden_full_pipeline_loop_closure(mission):
+    """Reference Mapper + MY PoseGraphSolver (hooked through the ScanSolver
+    callback) vs KartoSLAM end-to-end WITH loop closure: closures fire on
+    both sides and the trajectories agree."""
+    cfg, ranges, gt, scans, seq = mission
+    n = len(gt)
+    rng = np.random.default_rng(5)
+    odom = [gt[0].copy()]
+    for i in range(1, n):
+        d = np.asarray(
+            geo.relative(jnp.asarray(gt[i - 1]), jnp.asarray(gt[i])),
+            np.float64,
+        )
+        # gentle noise: higher levels push the reference into its singular-
+        # covariance abort (exercised by the subprocess guard below)
+        d[:2] += rng.normal(0, 0.004, 2)
+        d[2] += rng.normal(0, 0.001)
+        odom.append(
+            np.asarray(geo.compose(jnp.asarray(odom[-1]), jnp.asarray(d)))
+        )
+    odom = np.stack(odom).astype(np.float32).astype(np.float64)
+
+    # the reference side runs in a SUBPROCESS: the assert-enabled reference
+    # aborts the whole process on an exactly-singular match covariance
+    # (Matrix3::Inverse, Karto.h:2444-2453) — a real reachable state on
+    # degenerate keep-sets; tpu_slam regularizes instead (PARITY.md)
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        in_npz = Path(td) / "in.npz"
+        out_npz = Path(td) / "out.npz"
+        np.savez(in_npz, ranges=ranges, odom=odom)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                str(Path(__file__).parent / "golden" / "run_ref_mission.py"),
+                str(in_npz), str(out_npz), "--with-solver",
+            ],
+            capture_output=True, timeout=1800, text=True,
+        )
+        if proc.returncode != 0:
+            if "Assertion" in proc.stderr or proc.returncode < 0:
+                pytest.skip(
+                    "reference aborted on singular match covariance "
+                    "(known Matrix3::Inverse assert-fragility)"
+                )
+            raise RuntimeError(proc.stderr[-2000:])
+        z = np.load(out_npz)
+        acc_ref = list(z["accepted"])
+        ref_poses = z["poses"]
+        ref_closures = int(z["closures"][0])
+    slam = KartoSLAM(cfg)
+    acc_mine = []
+    for t in range(n):
+        if slam.process(index_scan(scans, t), odom[t]):
+            acc_mine.append(t)
+    slam.flush()
+
+    assert ref_closures >= 1
+    assert slam.loop_closures >= 1
+    assert acc_mine == acc_ref
+    mine_poses = np.stack([r.corrected_pose for r in slam.scans])
+    gt_acc = gt[acc_mine]
+
+    def ate(est):
+        d = est[:, :2] - gt_acc[:, :2]
+        return float(np.sqrt((d**2).sum(-1).mean()))
+
+    ate_mine, ate_ref = ate(mine_poses), ate(ref_poses)
+    # both loop-closed trajectories are centimeter-accurate and close to
+    # each other
+    assert ate_ref < 0.15, ate_ref
+    assert ate_mine < 0.15, ate_mine
+    d = mine_poses[:, :2] - ref_poses[:, :2]
+    assert np.sqrt((d**2).sum(-1)).mean() < 0.08

@@ -157,7 +157,22 @@ def karto_map(slam, resolution: float = 0.05) -> tuple[np.ndarray, GridConfig]:
     rng_th = slam.cfg.scan.range_threshold
     cfg = compute_grid_bounds(poses, rng_th, resolution)
     pts = np.stack([r.pts_laser for r in slam.scans])
-    valid = np.stack([r.beam_valid for r in slam.scans])
+    # occupancy ray filter from RAW ranges (AddScan skips r<=min / r>=max /
+    # NaN, Karto.h:5913-5918); beam_valid is the matcher's finite mask
+    sc = slam.cfg.scan
+    valid = np.stack(
+        [
+            (
+                np.isfinite(r.ranges)
+                & (r.ranges > sc.range_min)
+                & (r.ranges < sc.range_max)
+                & (r.ranges <= rng_th)
+            )
+            if r.ranges is not None
+            else r.beam_valid
+            for r in slam.scans
+        ]
+    )
     return (
         occupancy_from_scans(cfg, poses, pts, valid, rng_th),
         cfg,

@@ -143,11 +143,14 @@ class ScanRecord:
     are immutable; world data derives from the (mutable) corrected pose."""
 
     state_id: int
-    pts_laser: np.ndarray  # (N, 2)
-    beam_valid: np.ndarray  # (N,) in-range & finite
-    bary_local: np.ndarray  # (2,) mean of valid laser points
+    pts_laser: np.ndarray  # (N, 2) endpoints of ALL beams (0 where not finite)
+    beam_valid: np.ndarray  # (N,) finite — the matcher mask: the reference
+    # matches on UNFILTERED point readings (GetPointReadings default,
+    # Karto.h:5336; lookup INVALID_SCAN only for NaN/inf, Karto.h:6477-6482)
+    bary_local: np.ndarray  # (2,) mean of FILTERED laser points
     odom_pose: np.ndarray  # (3,)
     corrected_pose: np.ndarray  # (3,) sensor pose (updated by matching/solver)
+    ranges: np.ndarray = None  # (N,) raw readings (occupancy filtering/clamp)
     time: float = 0.0  # scan timestamp, seconds (GetTime)
     sensor: str = "laser0"  # GetSensorName (Karto.h:5208)
     seq: int = 0  # per-sensor StateId (per-sensor scan-list index)
@@ -289,17 +292,43 @@ class KartoSLAM:
         # the ones HasMovedEnough rejects)
         st = self.sensors[sensor]
         r = np.asarray(scan.ranges)
-        a = np.asarray(scan.angles)
-        rv = np.asarray(scan.valid)
+        # beam angles recomputed in f64 from the sensor model — the
+        # reference works in doubles throughout (Karto.h:5383); the Scan's
+        # f32 angle table would shift endpoints by ~1e-7 rad, enough to flip
+        # cell rounding at exact half-cell boundaries
+        a = self.cfg.scan.angle_min + self.cfg.scan.angle_increment * (
+            np.arange(r.shape[0], dtype=np.float64)
+        )
         if st.laser.inverted:
             # upside-down mount: readings reversed (karto_slam.cc:417-425)
             r = r[::-1]
-            rv = rv[::-1]
-        pts = np.stack([r * np.cos(a), r * np.sin(a)], axis=-1)
-        valid = rv & np.isfinite(pts).all(-1)
-        valid &= r <= self.cfg.scan.range_threshold
-        pts = np.where(valid[:, None], pts, 0.0)
-        bary = pts[valid].mean(axis=0) if valid.any() else np.zeros(2)
+        # the reference fork's LaserRangeFinder::Update computes the reading
+        # count WITHOUT the +1 (Karto.h:4152-4161, original commented out):
+        # Round((angle_max − angle_min)/resolution) — one fewer than the
+        # message carries under the usual angle_max = min + (n−1)·res
+        # convention, so the LAST beam never enters processing
+        n = r.shape[0]
+        sc = self.cfg.scan
+        span = sc.angle_increment * (n - 1)
+        n_used = int(math.floor(span / sc.angle_increment + 0.5))
+        if n_used < n:
+            r = r[:n_used]
+            a = a[:n_used]
+        # endpoints for ALL beams, RAW: the reference matcher works on
+        # UNFILTERED point readings (LocalizedRangeScan::Update computes a
+        # world point per beam regardless of range, Karto.h:5378-5404) —
+        # inf-range beams keep their ±inf endpoints because FindValidPoints'
+        # walk treats them as anchors (see ops.correlative.find_valid_points);
+        # NaN/inf beams are masked in the response lookup (INVALID_SCAN)
+        finite = np.isfinite(r)
+        with np.errstate(invalid="ignore"):
+            pts = np.stack([r * np.cos(a), r * np.sin(a)], axis=-1)
+        # barycenter over the FILTERED readings (InRange(r, min, threshold),
+        # Karto.h:5381,5405-5417)
+        filt = finite & (r >= self.cfg.scan.range_min) & (
+            r <= self.cfg.scan.range_threshold
+        )
+        bary = pts[filt].mean(axis=0) if filt.any() else np.zeros(2)
         # odom_pose arrives as a BASE pose; internal poses are sensor poses
         # (GetSensorAt = base ∘ offset, Karto.h:5331-5345)
         sensor_odom = np.asarray(odom_pose, np.float64)
@@ -308,8 +337,9 @@ class KartoSLAM:
         return ScanRecord(
             state_id=len(self.scans),
             pts_laser=pts.astype(np.float32),
-            beam_valid=valid,
+            beam_valid=finite,
             bary_local=bary,
+            ranges=r.astype(np.float32),
             odom_pose=sensor_odom,
             corrected_pose=sensor_odom.copy(),
             time=float(np.asarray(scan.stamp)),
@@ -369,7 +399,10 @@ class KartoSLAM:
             self.scans[i].pts_laser.shape[0] for c in chains for i in c
         )
         poses = np.zeros((cap_c, cap_s, 3), np.float32)
-        pts = np.zeros((cap_c, cap_s, n, 2), np.float32)
+        # NaN padding: FindValidPoints walks UNMASKED points (reference
+        # semantics) and a (0,0) pad point could become an anchor; NaN never
+        # does (ops.correlative.find_valid_points)
+        pts = np.full((cap_c, cap_s, n, 2), np.nan, np.float32)
         valid = np.zeros((cap_c, cap_s, n), bool)
         lane_valid = np.zeros(cap_c, bool)
         for k, chain in enumerate(chains):
@@ -642,9 +675,23 @@ class KartoSLAM:
 
     @staticmethod
     def _weighted_mean(means, covs) -> np.ndarray:
-        """ComputeWeightedMean (Mapper.cpp:1288-1330)."""
-        invs = [np.linalg.inv(c) for c in covs]
-        w_total = np.linalg.inv(np.sum(invs, axis=0))
+        """ComputeWeightedMean (Mapper.cpp:1288-1330).
+
+        Corridor-degenerate matches can produce an EXACTLY singular
+        covariance (the response keep-set collinear → rank-1 positional
+        block); the reference then dies on Matrix3::Inverse's assert (or
+        silently uses garbage under NDEBUG, Karto.h:2444-2453). Deviation:
+        regularize with a tiny diagonal jitter instead — same result on
+        non-degenerate input, well-defined on degenerate input (PARITY.md)."""
+
+        def safe_inv(c):
+            try:
+                return np.linalg.inv(c)
+            except np.linalg.LinAlgError:
+                return np.linalg.inv(c + 1e-9 * np.eye(3))
+
+        invs = [safe_inv(c) for c in covs]
+        w_total = safe_inv(np.sum(invs, axis=0))
         acc = np.zeros(3)
         tx = ty = 0.0
         for m, inv in zip(means, invs):

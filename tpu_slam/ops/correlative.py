@@ -42,6 +42,28 @@ KT_TOLERANCE = 1e-6
 GRID_OCCUPIED = 100  # GridStates_Occupied
 
 
+def kround(x):
+    """math::Round (Math.h:87-90): round half AWAY from zero — NOT numpy's
+    round-half-to-even. Grid parity with the reference depends on this at
+    exact .5 cell boundaries."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def kround_i(x):
+    return kround(x).astype(jnp.int32)
+
+
+def _pyround(x: float) -> int:
+    """Host-side math::Round."""
+    return int(math.floor(x + 0.5) if x >= 0.0 else math.ceil(x - 0.5))
+
+
+def _align8(x: int) -> int:
+    """math::AlignValue<8> (Math.h:244-247): grids store rows with an
+    8-aligned stride; response index arithmetic follows it."""
+    return (x + 7) & ~7
+
+
 @dataclasses.dataclass(frozen=True)
 class CorrelativeParams:
     """Static geometry of one matcher instance (ScanMatcher::Create,
@@ -62,7 +84,7 @@ class CorrelativeParams:
     @property
     def n_search(self) -> int:
         # searchSpaceSideSize (Mapper.cpp:150)
-        return int(round(self.search_size / self.resolution)) + 1
+        return _pyround(self.search_size / self.resolution) + 1
 
     @property
     def margin(self) -> int:
@@ -71,13 +93,19 @@ class CorrelativeParams:
 
     @property
     def half_kernel(self) -> int:
-        # GetHalfKernelSize (Mapper.h:1096-1101): 2σ
-        return int(round(2.0 * self.smear_deviation / self.resolution))
+        # GetHalfKernelSize (Mapper.h:1096-1101): 2σ, math::Round
+        return _pyround(2.0 * self.smear_deviation / self.resolution)
 
     @property
     def grid_size(self) -> int:
         # roi + kernel border on each side (Mapper.h:928, :1016-1022)
         return self.n_search + 2 * self.margin + 2 * (self.half_kernel + 1)
+
+    @property
+    def row_stride(self) -> int:
+        # m_WidthStep: 8-aligned row stride (Karto.h:4442). GetResponse adds
+        # flat lookup offsets in this stride, so parity requires it.
+        return _align8(self.grid_size)
 
     @property
     def center_cell(self) -> int:
@@ -86,13 +114,29 @@ class CorrelativeParams:
 
 def smear_kernel(params: CorrelativeParams) -> np.ndarray:
     """The reference's quantized Gaussian kernel (CalculateKernel,
-    Mapper.h:1032-1094): int values round(exp(-0.5 (d/σ)²)·100)."""
+    Mapper.h:1032-1094): int values Round(exp(-0.5 (d/σ)²)·100), computed in
+    float64 exactly as the C++ does."""
     h = params.half_kernel
-    ij = np.arange(-h, h + 1)
+    ij = np.arange(-h, h + 1, dtype=np.float64)
     dx, dy = np.meshgrid(ij, ij, indexing="ij")
     d = np.hypot(dx * params.resolution, dy * params.resolution)
     z = np.exp(-0.5 * (d / params.smear_deviation) ** 2)
-    return np.round(z * GRID_OCCUPIED).astype(np.int32)
+    return np.floor(z * GRID_OCCUPIED + 0.5).astype(np.int32)
+
+
+def smear_lut(params: CorrelativeParams) -> np.ndarray:
+    """Kernel value as a function of squared cell distance d² = i²+j²:
+    LUT[d²] = Round(100·exp(-0.5·d²·(res/σ)²)) (f64, half-up — z ≥ 0).
+    The kernel is radially monotone non-increasing, so the per-cell max over
+    overlapping SmearPoint patches equals LUT[min d² to an occupied cell] —
+    turning the smear into an int-exact separable squared-distance
+    transform."""
+    h = params.half_kernel
+    d2 = np.arange(2 * h * h + 1, dtype=np.float64)
+    z = np.exp(
+        -0.5 * d2 * (params.resolution / params.smear_deviation) ** 2
+    )
+    return np.floor(z * GRID_OCCUPIED + 0.5).astype(np.int32)
 
 
 def build_correlation_grid(
@@ -104,39 +148,50 @@ def build_correlation_grid(
     """Rasterize base-scan world points around ``center_xy`` and smear.
 
     pts: (K, 2) world points (already view-filtered), valid: (K,).
-    Returns int32 grid (G, G), values 0..100. Scatter-max is associative, so
-    overlapping kernel patches combine exactly like sequential SmearPoint
-    calls (which take per-cell max).
+    Returns int32 grid (G, W8) — W8 = 8-aligned row stride, right-padded
+    with zeros like the reference's m_WidthStep layout — values 0..100.
+
+    Smear parity (SmearPoint max-combining, Mapper.h:972-1009): each cell's
+    value is the max kernel value over occupied cells in its window, i.e.
+    LUT[min d²] by radial monotonicity. min d² = dx²+dy² is computed with
+    the classic SEPARABLE two-pass squared-distance transform (2·(2h+1)
+    static shifts, all int32 — bit-exact vs the C++ int kernel, unlike the
+    earlier float max-dilation whose f32 exp could flip Round boundaries).
     """
     g = params.grid_size
+    w8 = params.row_stride
     c = params.center_cell
     h = params.half_kernel
+    lut = jnp.asarray(smear_lut(params))
+    inf = jnp.int32(2 * h * h + 1)
 
     rel = (pts - center_xy) / params.resolution
-    ix = jnp.round(rel[..., 0]).astype(jnp.int32) + c
-    iy = jnp.round(rel[..., 1]).astype(jnp.int32) + c
+    ix = kround_i(rel[..., 0]) + c
+    iy = kround_i(rel[..., 1]) + c
+    # ROI bounds check of AddScan (Mapper.cpp:723-730): border cells excluded
     inb = (ix >= h + 1) & (ix < g - h - 1) & (iy >= h + 1) & (iy < g - h - 1)
-    OOB = g * g + 7
-    flat = jnp.where(inb & valid, iy * g + ix, OOB)
-    occ = jnp.zeros((g * g,), pts.dtype).at[flat].max(1.0, mode="drop")
-    occ = occ.reshape(g, g)
+    OOB = g * w8 + 7
+    flat = jnp.where(inb & valid, iy * w8 + ix, OOB)
+    occ = jnp.zeros((g * w8,), bool).at[flat].max(True, mode="drop")
+    occ = occ.reshape(g, w8)
 
-    # Gaussian max-dilation, SEPARABLE: exp(-(dx²+dy²)/2σ²) = kx(dx)·ky(dy)
-    # with all values ≥ 0, so max over the 2D window = two 1-D max passes
-    # (26 static shifts instead of a (K, kernel²) scatter whose XLA compile
-    # took ~60 s). Rounding is monotone, so round(max z·100) equals the
-    # reference's per-cell max of round(z·100) — int-exact parity holds.
-    d = jnp.arange(-h, h + 1, dtype=pts.dtype) * params.resolution
-    k1 = jnp.exp(-0.5 * (d / params.smear_deviation) ** 2)
-    pad = jnp.pad(occ, ((h, h), (h, h)))
-    rowmax = jnp.zeros_like(occ)
+    # pass 1: per-row min dx² to an occupied cell within |dx| ≤ h
+    big = jnp.full((g, w8), inf, jnp.int32)
+    pad = jnp.pad(occ, ((0, 0), (h, h)))
+    rowd2 = big
     for j in range(2 * h + 1):
-        rowmax = jnp.maximum(rowmax, k1[j] * pad[h : h + g, j : j + g])
-    pad2 = jnp.pad(rowmax, ((h, h), (0, 0)))
-    out = jnp.zeros_like(occ)
+        dx2 = jnp.int32((j - h) * (j - h))
+        rowd2 = jnp.minimum(
+            rowd2, jnp.where(pad[:, j : j + w8], dx2, inf)
+        )
+    # pass 2: min over |dy| ≤ h of rowd2 + dy²
+    pad2 = jnp.pad(rowd2, ((h, h), (0, 0)), constant_values=inf)
+    d2 = big
     for i in range(2 * h + 1):
-        out = jnp.maximum(out, k1[i] * pad2[i : i + g, :])
-    return jnp.round(out * GRID_OCCUPIED).astype(jnp.int32)
+        dy2 = jnp.int32((i - h) * (i - h))
+        d2 = jnp.minimum(d2, pad2[i : i + g, :] + dy2)
+    vals = jnp.take(lut, jnp.clip(d2, 0, 2 * h * h), axis=0)
+    return jnp.where(d2 <= 2 * h * h, vals, 0)
 
 
 class CorrelateResult(NamedTuple):
@@ -149,6 +204,7 @@ class CorrelateResult(NamedTuple):
 def _responses_for_angles(
     grid_flat,
     g: int,
+    w8: int,
     pts_local,
     beam_valid,
     angles,
@@ -157,9 +213,12 @@ def _responses_for_angles(
 ):
     """Numerators (nA, nCand) of the correlation response, int32-exact.
 
-    cand_cells_flat: (nCand,) flat grid index of each candidate position.
-    Beam cell offsets follow the reference's separate rounding of the rotated
-    local point (GridIndexLookup::ComputeOffsets, Karto.h:6455-6500).
+    cand_cells_flat: (nCand,) flat grid index of each candidate position in
+    the W8-strided layout. Beam cell offsets follow the reference's rounding
+    of the rotated local point (GridIndexLookup::ComputeOffsets,
+    Karto.h:6455-6500) with the 8-aligned stride and the IsUpTo bounds check
+    of GetResponse (Mapper.cpp:843-848) — including the reference's
+    row-wrap behavior for beams landing off the grid.
 
     The (angles × candidates × beams) gather tensor is fully vectorized when
     it fits ``element_budget``; beyond that (the 8 m loop matcher) angles are
@@ -169,19 +228,17 @@ def _responses_for_angles(
     nA = angles.shape[0]
     nC = cand_cells_flat.shape[0]
     N = pts_local.shape[0]
+    size = g * w8
 
     def block(angs):  # (A,) → (A, nC) numerators
         c = jnp.cos(angs)[:, None]
         s = jnp.sin(angs)[:, None]
         rx = c * pts_local[None, :, 0] - s * pts_local[None, :, 1]
         ry = s * pts_local[None, :, 0] + c * pts_local[None, :, 1]
-        off_flat = (
-            jnp.round(ry).astype(jnp.int32) * g
-            + jnp.round(rx).astype(jnp.int32)
-        )  # (A, N)
+        off_flat = kround_i(ry) * w8 + kround_i(rx)  # (A, N)
         idx = cand_cells_flat[None, :, None] + off_flat[:, None, :]
-        ok = beam_valid[None, None, :] & (idx >= 0) & (idx < g * g)
-        vals = jnp.where(ok, grid_flat[jnp.clip(idx, 0, g * g - 1)], 0)
+        ok = beam_valid[None, None, :] & (idx >= 0) & (idx < size)
+        vals = jnp.where(ok, grid_flat[jnp.clip(idx, 0, size - 1)], 0)
         return jnp.sum(vals, axis=-1)  # (A, nC)
 
     per = max(1, element_budget // max(nC * N, 1))
@@ -266,12 +323,8 @@ def _responses_sliced(
 
     def per_angle(angle):
         c, s = jnp.cos(angle), jnp.sin(angle)
-        ox = jnp.round(c * pts_cells[:, 0] - s * pts_cells[:, 1]).astype(
-            jnp.int32
-        )
-        oy = jnp.round(s * pts_cells[:, 0] + c * pts_cells[:, 1]).astype(
-            jnp.int32
-        )
+        ox = kround_i(c * pts_cells[:, 0] - s * pts_cells[:, 1])
+        oy = kround_i(s * pts_cells[:, 0] + c * pts_cells[:, 1])
         # beams vectorized: one (n, span_y, span_x) batched-window load per
         # angle (row-contiguous — far faster on TPU than per-element random
         # gathers or a sequential per-beam scan), then an int32 reduction
@@ -317,10 +370,12 @@ def correlate_scan(
     search_center: (3,) pose; candidate poses are center + (dx, dy) over the
     static offset grids and headings center.θ − angle_offset + i·angle_res.
     scan_pts_laser: (N, 2) beam endpoints in the LASER frame (the reference's
-    inverse-transformed localPoints, Karto.h:6430-6435).
+    inverse-transformed localPoints, Karto.h:6430-6435) — ALL beams; NaN/inf
+    beams carry beam_valid=False (INVALID_SCAN, Karto.h:6477-6482).
     """
     p = params
     g = p.grid_size
+    w8 = p.row_stride
     grid_flat = grid.reshape(-1)
     dtype = scan_pts_laser.dtype
 
@@ -341,7 +396,7 @@ def correlate_scan(
         # the first candidate's cell needs the rounding below
         rel0 = (search_center[:2] + jnp.stack([xo[0], yo[0]])
                 - grid_center_xy) / p.resolution
-        cand0 = jnp.round(rel0).astype(jnp.int32) + p.center_cell  # [x, y]
+        cand0 = kround_i(rel0) + p.center_cell  # [x, y]
         if pallas_mode is not None:
             from tpu_slam.ops.pallas.correlative_response import (
                 responses_sliced_pallas,
@@ -363,14 +418,17 @@ def correlate_scan(
         )  # (nY, nX, 2) [y, x]
         cand_world = search_center[:2] + cand_xy[..., ::-1]
         rel = (cand_world - grid_center_xy) / p.resolution
-        cix = jnp.round(rel[..., 0]).astype(jnp.int32) + p.center_cell
-        ciy = jnp.round(rel[..., 1]).astype(jnp.int32) + p.center_cell
-        cand_flat = (ciy * g + cix).reshape(-1)  # (nY*nX,)
+        cix = kround_i(rel[..., 0]) + p.center_cell
+        ciy = kround_i(rel[..., 1]) + p.center_cell
+        cand_flat = (ciy * w8 + cix).reshape(-1)  # (nY*nX,)
         nums = _responses_for_angles(
-            grid_flat, g, pts_cells, beam_valid, angles, cand_flat,
+            grid_flat, g, w8, pts_cells, beam_valid, angles, cand_flat,
             element_budget=min(24_000_000, element_budget or 24_000_000),
         )  # (nA, nY*nX) int32
-    n_beams = jnp.maximum(jnp.sum(beam_valid), 1)
+    # normalize by the TOTAL reading count — the reference's nPoints is the
+    # lookup-array size = ALL beams incl. NaN ones (GetResponse,
+    # Mapper.cpp:852-853), not the valid count
+    n_beams = scan_pts_laser.shape[0]
     resp = nums.astype(dtype) / (GRID_OCCUPIED * n_beams)  # (nA, nCand)
     resp = resp.reshape(n_angles, nY, nX)
 
@@ -398,20 +456,18 @@ def correlate_scan(
     search_probs = jnp.max(resp, axis=0)  # SearchSpaceProbs (per-cell max)
     # angle responses at the best (tie-averaged) position's cell
     brel = (best_pose[:2] - grid_center_xy) / p.resolution
-    bix = jnp.round(brel[0]).astype(jnp.int32) + p.center_cell
-    biy = jnp.round(brel[1]).astype(jnp.int32) + p.center_cell
-    bflat = biy * g + bix
+    bix = kround_i(brel[0]) + p.center_cell
+    biy = kround_i(brel[1]) + p.center_cell
+    bflat = biy * w8 + bix
 
     def ang_resp(angle):
         c, s = jnp.cos(angle), jnp.sin(angle)
         rx = c * pts_cells[:, 0] - s * pts_cells[:, 1]
         ry = s * pts_cells[:, 0] + c * pts_cells[:, 1]
-        idx = bflat + jnp.round(ry).astype(jnp.int32) * g + jnp.round(
-            rx
-        ).astype(jnp.int32)
-        ok = beam_valid & (idx >= 0) & (idx < g * g)
+        idx = bflat + kround_i(ry) * w8 + kround_i(rx)
+        ok = beam_valid & (idx >= 0) & (idx < g * w8)
         return jnp.sum(
-            jnp.where(ok, grid_flat[jnp.clip(idx, 0, g * g - 1)], 0)
+            jnp.where(ok, grid_flat[jnp.clip(idx, 0, g * w8 - 1)], 0)
         ).astype(dtype) / (GRID_OCCUPIED * n_beams)
 
     angle_responses = jax.lax.map(ang_resp, angles)
@@ -448,16 +504,26 @@ def positional_covariance(
     vyy = jnp.maximum(vyy, min_v)
     mult = 1.0 / jnp.maximum(best_response, KT_TOLERANCE)
     vth = 4.0 * angle_res**2
+    # zero-variance fallback (:622-633): DoubleEqual(cov_ii, 0) → MAX
+    cxx = jnp.where(jnp.abs(vxx * mult) <= KT_TOLERANCE, MAX_VARIANCE,
+                    vxx * mult)
+    cyy = jnp.where(jnp.abs(vyy * mult) <= KT_TOLERANCE, MAX_VARIANCE,
+                    vyy * mult)
     cov = jnp.array(
         [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype
     )
-    cov = cov.at[0, 0].set(vxx * mult)
+    cov = cov.at[0, 0].set(cxx)
     cov = cov.at[0, 1].set(vxy * mult)
     cov = cov.at[1, 0].set(vxy * mult)
-    cov = cov.at[1, 1].set(vyy * mult)
+    cov = cov.at[1, 1].set(cyy)
     cov = cov.at[2, 2].set(vth)
-    # degenerate cases → MAX_VARIANCE (:545-556, :620-633)
-    bad = (best_response < KT_TOLERANCE) | (norm <= KT_TOLERANCE)
+    # norm ≤ tol: reference leaves the identity covariance untouched
+    # (:597-618 only runs when norm > tol) — unreachable when bestResponse ≥
+    # tol (the best cell always passes the −0.1 gate) but mirrored anyway
+    eye = jnp.eye(3, dtype=dtype)
+    cov = jnp.where(norm > KT_TOLERANCE, cov, eye)
+    # bestResponse < tol → MAX_VARIANCE early-out (:545-556)
+    bad = best_response < KT_TOLERANCE
     big = jnp.array(
         [
             [MAX_VARIANCE, 0.0, 0.0],
@@ -489,9 +555,12 @@ def angular_covariance(
     w = jnp.where(keep, angle_responses, 0.0)
     norm = jnp.sum(w)
     acc = jnp.sum((angles - best_angle) ** 2 * w)
+    # the res² floor applies BEFORE the norm division (Mapper.cpp:679-686):
+    # acc < tol → res²/norm, not res²
+    acc = jnp.where(acc < KT_TOLERANCE, angle_res**2, acc)
     vth = jnp.where(
         norm > KT_TOLERANCE,
-        jnp.where(acc < KT_TOLERANCE, angle_res**2, acc / jnp.maximum(norm, KT_TOLERANCE)),
+        acc / jnp.maximum(norm, KT_TOLERANCE),
         1000.0 * angle_res**2,
     )
     return cov.at[2, 2].set(vth)
@@ -501,38 +570,56 @@ def find_valid_points(
     pts: jax.Array, valid: jax.Array, viewpoint: jax.Array
 ) -> jax.Array:
     """FindValidPoints (Mapper.cpp:765-813): the reference walks the scan
-    keeping a trailing iterator; each *run* of points ending at an anchor
-    advance (≥10 cm from the previous anchor) is kept iff the determinant
-    test at the run's closing point says the surface faces the viewpoint
-    (ss ≥ 0). Two fixed-shape passes: a forward scan for anchors + per-run
-    verdicts, a backward scan propagating each verdict to its run."""
+    keeping a trailing iterator; when the walk reaches an anchor advance
+    (≥10 cm from the previous anchor) the run of points SINCE the previous
+    anchor — anchor-exclusive, `[trailing, iter)` — is kept iff the
+    determinant test at the new anchor says the surface faces the viewpoint
+    (ss ≥ 0). The run after the LAST anchor is never pushed. Two fixed-shape
+    passes: a forward scan for anchors + per-run verdicts, a backward scan
+    assigning each point the verdict of the first anchor strictly after it
+    (False if none).
+
+    ``pts`` must be the RAW unfiltered endpoints (Karto.h:5378-5404): the
+    reference walk has NO validity gating — ±inf points (inf ranges) ARE
+    anchor candidates (delta² = inf > 0.01) with NaN determinants falling
+    into the keep branch, and only NaN points are skipped when picking the
+    first point (Mapper.cpp:776-781). IEEE semantics reproduce this exactly;
+    ``valid`` only masks the returned keep flags (the reference drops those
+    points later at the grid-bounds check, Mapper.cpp:723-730)."""
     min_sq = 0.1**2
 
     def fwd(anchor, inp):
-        p, v = inp
-        moved = v & (jnp.sum((anchor - p) ** 2) > min_sq)
+        p = inp
+        # no valid-gating: NaN dist compares False, inf compares True —
+        # exactly the C++ behavior on unfiltered points
+        moved = jnp.sum((anchor - p) ** 2) > min_sq
         # reference coefficients (Mapper.cpp:792-800)
         a = viewpoint[1] - anchor[1]
         b = anchor[0] - viewpoint[0]
         cc = anchor[1] * viewpoint[0] - anchor[0] * viewpoint[1]
         ss = p[0] * a + p[1] * b + cc
         new_anchor = jnp.where(moved, p, anchor)
-        return new_anchor, (moved, ss >= 0.0)
+        # NaN ss < 0 is False in C++ → the run is PUSHED; ~(ss < 0) matches
+        return new_anchor, (moved, ~(ss < 0.0))
 
-    first_idx = jnp.argmax(valid)
+    not_nan = ~jnp.isnan(pts).any(axis=-1)
+    first_idx = jnp.argmax(not_nan)
     anchor0 = pts[first_idx]
     # unroll: the loop-carried state is tiny (one anchor point) and each
     # TPU loop trip costs ~50-100 µs of launch latency — 2×N sequential
     # trips dominated a whole correlative match before unrolling
-    _, (moved, ok) = jax.lax.scan(fwd, anchor0, (pts, valid), unroll=32)
+    _, (moved, ok) = jax.lax.scan(fwd, anchor0, pts, unroll=32)
 
     def bwd(pending, inp):
         m, o = inp
+        # emit the verdict of the first anchor AFTER this point, then fold
+        # in this point's own anchor status for earlier points
+        keep_here = pending
         verdict = jnp.where(m, o, pending)
-        return verdict, verdict
+        return verdict, keep_here
 
     _, keep = jax.lax.scan(
-        bwd, jnp.array(True), (moved, ok), reverse=True, unroll=32
+        bwd, jnp.array(False), (moved, ok), reverse=True, unroll=32
     )
     return valid & keep
 

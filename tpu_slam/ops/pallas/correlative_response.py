@@ -93,7 +93,7 @@ def _make_kernel(
     static_argnames=("n_x", "n_y", "stride", "interpret"),
 )
 def responses_sliced_pallas(
-    grid: jax.Array,  # (G, G) int32 correlation grid, values 0..100
+    grid: jax.Array,  # (H, W) int32 correlation grid (W = 8-aligned stride)
     pts_cells: jax.Array,  # (N, 2) laser points / resolution
     beam_valid: jax.Array,  # (N,) bool
     angles: jax.Array,  # (A,)
@@ -104,7 +104,7 @@ def responses_sliced_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for `_responses_sliced`: (A, nY*nX) int32."""
-    G = grid.shape[0]
+    H, W = grid.shape
     N = pts_cells.shape[0]
     A = angles.shape[0]
     span_x = (n_x - 1) * stride + 1
@@ -115,29 +115,32 @@ def responses_sliced_pallas(
     n_yp = _round_up(n_y, 8)
     n_xp = _round_up(n_x, 128)
 
-    # padded int8 grid: rows/cols [0, G) hold true data; aligned-down loads
-    # plus the remainder never reach past the clamped start + span, and the
-    # pad region only feeds selector rows that are masked off.
-    gy = _round_up(G + s_y, 32)
-    gx = _round_up(G + s_x, 128)
+    # padded int8 grid: rows/cols [0, H)×[0, W) hold true data; aligned-down
+    # loads plus the remainder never reach past the clamped start + span, and
+    # the pad region only feeds selector rows that are masked off.
+    gy = _round_up(H + s_y, 32)
+    gx = _round_up(W + s_x, 128)
     grid8 = jnp.zeros((gy, gx), jnp.int8)
     grid8 = jax.lax.dynamic_update_slice(
         grid8, jnp.clip(grid, -128, 127).astype(jnp.int8), (0, 0)
     )
 
     # rotated beam cell offsets — the same rounding as the XLA path
-    # (GridIndexLookup::ComputeOffsets, Karto.h:6455-6500)
+    # (math::Round = half away from zero, GridIndexLookup::ComputeOffsets,
+    # Karto.h:6455-6500)
+    from tpu_slam.ops.correlative import kround
+
     c = jnp.cos(angles)[:, None]
     s = jnp.sin(angles)[:, None]
-    ox = jnp.round(c * pts_cells[None, :, 0] - s * pts_cells[None, :, 1])
-    oy = jnp.round(s * pts_cells[None, :, 0] + c * pts_cells[None, :, 1])
+    ox = kround(c * pts_cells[None, :, 0] - s * pts_cells[None, :, 1])
+    oy = kround(s * pts_cells[None, :, 0] + c * pts_cells[None, :, 1])
     # absolute window starts with dynamic_slice clamp semantics on the
-    # UNPADDED grid (starts clipped to [0, G - span])
+    # UNPADDED grid (starts clipped to [0, dim - span])
     xs = jnp.clip(
-        cand0_xy[0] + ox.astype(jnp.int32), 0, G - span_x
+        cand0_xy[0] + ox.astype(jnp.int32), 0, W - span_x
     ).reshape(-1)
     ys = jnp.clip(
-        cand0_xy[1] + oy.astype(jnp.int32), 0, G - span_y
+        cand0_xy[1] + oy.astype(jnp.int32), 0, H - span_y
     ).reshape(-1)
     vld = beam_valid.astype(jnp.float32)
 

@@ -27,6 +27,11 @@ def save_karto(slam: "KartoSLAM", path: str) -> None:
         path,
         pts=np.stack([r.pts_laser for r in recs]) if recs else np.zeros((0, 0, 2)),
         valid=np.stack([r.beam_valid for r in recs]) if recs else np.zeros((0, 0), bool),
+        ranges=(
+            np.stack([r.ranges for r in recs])
+            if recs and recs[0].ranges is not None
+            else np.zeros((0, 0), np.float32)
+        ),
         bary=np.stack([r.bary_local for r in recs]) if recs else np.zeros((0, 2)),
         odom=np.stack([r.odom_pose for r in recs]) if recs else np.zeros((0, 3)),
         corrected=np.stack([r.corrected_pose for r in recs]) if recs else np.zeros((0, 3)),
@@ -95,6 +100,11 @@ def load_karto(slam: "KartoSLAM", path: str) -> None:
             pts_laser=z["pts"][i],
             beam_valid=z["valid"][i],
             bary_local=z["bary"][i],
+            ranges=(
+                z["ranges"][i]
+                if "ranges" in z.files and z["ranges"].shape[0] == T
+                else None
+            ),
             odom_pose=z["odom"][i],
             corrected_pose=z["corrected"][i],
             time=float(times[i]),
