@@ -105,14 +105,15 @@ def main():
             compute_grid_bounds, occupancy_from_scans,
         )
 
-        pts = np.where(
-            np.asarray(scans.valid)[..., None], np.asarray(scans.points()), 0.0
-        ).astype(np.float32)
+        with np.errstate(invalid="ignore"):
+            pts = np.asarray(scans.points()).astype(np.float32)
+        pts[~np.isfinite(pts)] = 0.0
         t0 = time.perf_counter()
         gcfg = compute_grid_bounds(res.poses, cfg.scan.range_threshold, 0.05)
         grid = occupancy_from_scans(
-            gcfg, res.poses, pts, np.asarray(scans.valid),
+            gcfg, res.poses, pts, np.asarray(scans.ranges),
             cfg.scan.range_threshold,
+            min_range=cfg.scan.range_min, max_range=cfg.scan.range_max,
         )
         map_s = time.perf_counter() - t0
         print(

@@ -99,16 +99,21 @@ def test_karto_counts_range_threshold():
     origin = jnp.array([0.0, 0.0])
     # one in-range beam, one beyond threshold (traces free, no hit)
     endpoints = jnp.array([[3.0, 0.0], [0.0, 5.5]])
-    valid = jnp.array([True, True])
+    ranges = jnp.array([3.0, 5.5])
     p, h = gm.karto_counts_update_scan(
-        p, h, CFG, origin, endpoints, valid, range_threshold=4.0
+        p, h, CFG, origin, endpoints, ranges, range_threshold=4.0,
+        min_range=0.1, max_range=12.0,
     )
     pp = np.asarray(p).reshape(128, 128)
     hh = np.asarray(h).reshape(128, 128)
-    assert hh[64, 94] == 1 and pp[64, 94] == 1
+    # valid endpoint: TraceLine visits it once + the endpoint update adds
+    # pass AND hit (the reference's double count, Karto.h:5929-5945)
+    assert hh[64, 94] == 1 and pp[64, 94] == 2
     assert hh[:, 64].sum() == 0  # long beam never hits
     assert pp[80, 64] == 1  # but traces free along +y up to 4 m
     assert pp[64 + 41, 64] == 0  # nothing past the threshold
+    # free cells along the first beam get exactly one pass
+    assert pp[64, 70] == 1
 
 
 def test_karto_occupancy_rule():

@@ -166,8 +166,8 @@ class TestNativeBagDecoder:
 
 def test_native_karto_counts_matches_device():
     """ts_karto_counts mirrors ops/gridmap.karto_counts_update_scan
-    (float32, same sampling/dedup/threshold semantics): occupancy maps must
-    agree except possibly a vanishing fraction of cell-boundary ties."""
+    (float32, exact Karto Bresenham/threshold semantics): identical f32
+    arithmetic on both sides, so the maps must be cell-identical."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -195,23 +195,15 @@ def test_native_karto_counts_matches_device():
     world = sim.office_world(seed=9, clear_path=traj)
     seq = sim.simulate_sequence(world, traj, cfg.scan, noise_std=0.004, seed=3)
     scans = make_scan(seq.ranges, cfg.scan)
-    pts = np.where(
-        np.asarray(scans.valid)[..., None], np.asarray(scans.points()), 0.0
-    ).astype(np.float32)
-    valid = np.asarray(scans.valid)
+    ranges = np.asarray(scans.ranges)
+    with np.errstate(invalid="ignore"):
+        pts = np.asarray(scans.points()).astype(np.float32)
+    pts[~np.isfinite(pts)] = 0.0
     poses = seq.gt_poses.astype(np.float32)
     gcfg = compute_grid_bounds(poses, cfg.scan.range_threshold, 0.05)
 
-    m_dev = occupancy_from_scans(
-        gcfg, poses, pts, valid, cfg.scan.range_threshold, engine="device"
-    )
-    m_nat = occupancy_from_scans(
-        gcfg, poses, pts, valid, cfg.scan.range_threshold, engine="native"
-    )
-    assert m_dev.shape == m_nat.shape
-    disagree = (m_dev != m_nat).mean()
-    assert disagree < 5e-3, f"{disagree:.4%} cells disagree"
-    # occupied structure identical up to isolated boundary ties
-    occ_dev = m_dev == 100
-    occ_nat = m_nat == 100
-    assert (occ_dev != occ_nat).sum() <= max(3, 0.01 * occ_dev.sum())
+    args = (gcfg, poses, pts, ranges, cfg.scan.range_threshold)
+    kw = dict(min_range=cfg.scan.range_min, max_range=cfg.scan.range_max)
+    m_dev = occupancy_from_scans(*args, engine="device", **kw)
+    m_nat = occupancy_from_scans(*args, engine="native", **kw)
+    np.testing.assert_array_equal(m_dev, m_nat)

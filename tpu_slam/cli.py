@@ -177,13 +177,13 @@ def main(argv=None) -> int:
         grid_cfg = compute_grid_bounds(
             res.poses, cfg.scan.range_threshold, cfg.grid.resolution
         )
-        pts = np.where(
-            np.asarray(scans.valid)[..., None],
-            np.asarray(scans.points()), 0.0,
-        ).astype(np.float32)
+        with np.errstate(invalid="ignore"):
+            pts = np.asarray(scans.points()).astype(np.float32)
+        pts[~np.isfinite(pts)] = 0.0
         ros_map = occupancy_from_scans(
-            grid_cfg, res.poses, pts, np.asarray(scans.valid),
+            grid_cfg, res.poses, pts, np.asarray(scans.ranges),
             cfg.scan.range_threshold,
+            min_range=cfg.scan.range_min, max_range=cfg.scan.range_max,
         )
     elif args.model == "undistort":
         print(

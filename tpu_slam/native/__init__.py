@@ -70,7 +70,7 @@ def _load():
     i32 = ctypes.POINTER(ctypes.c_int32)
     f32 = ctypes.c_float
     lib.ts_karto_counts.argtypes = [
-        fp, fp, u8, i64, i64, f32, f32, f32, i64, i64, f32, f32, f32,
+        fp, fp, fp, i64, i64, f32, f32, f32, i64, i64, f32, f32, f32,
         i32, i32,
     ]
     _lib = lib
@@ -124,32 +124,33 @@ def bresenham_masks(origin_cell: np.ndarray, end_cells: np.ndarray,
 
 
 def karto_counts(origins: np.ndarray, endpoints: np.ndarray,
-                 valid: np.ndarray, grid_cfg, range_threshold: float,
-                 step_frac: float = 0.7,
-                 cell_eps: float = 1e-3) -> tuple[np.ndarray, np.ndarray]:
+                 ranges: np.ndarray, grid_cfg, range_threshold: float,
+                 min_range: float = 0.0,
+                 max_range: float = np.inf) -> tuple[np.ndarray, np.ndarray]:
     """Whole-mission Karto pass/hit counters (CreateFromScans) on the host.
 
-    Mirrors ops/gridmap.karto_counts_update_scan in float32 (same ray
-    sampling, dedup chain, bounds and threshold semantics); requires the
-    native library. Returns (pass_cnt, hit_cnt) int32 (H, W)."""
+    EXACT reference semantics (Karto.h:5886-5950), mirroring
+    ops/gridmap.karto_counts_update_scan: Bresenham TraceLine inclusive of
+    the endpoint, valid endpoints (r < threshold - 1e-6) double-count pass
+    + hit, rays clamped at the threshold, r<=min / r>=max / NaN skipped.
+    Returns (pass_cnt, hit_cnt) int32 (H, W)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     org = np.ascontiguousarray(origins, np.float32)
     ends = np.ascontiguousarray(endpoints, np.float32)
-    v = np.ascontiguousarray(valid, np.uint8)
-    T, N = v.shape
+    r = np.ascontiguousarray(ranges, np.float32)
+    T, N = r.shape
     H, W = grid_cfg.size_y, grid_cfg.size_x
     pc = np.zeros(H * W, np.int32)
     hc = np.zeros(H * W, np.int32)
     i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     lib.ts_karto_counts(
-        _fp(org), _fp(ends),
-        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _fp(org), _fp(ends), _fp(r),
         T, N,
         float(grid_cfg.resolution), float(grid_cfg.origin_x),
         float(grid_cfg.origin_y), W, H,
-        float(range_threshold), float(step_frac), float(cell_eps),
+        float(range_threshold), float(min_range), float(max_range),
         i32p(pc), i32p(hc),
     )
     return pc.reshape(H, W), hc.reshape(H, W)

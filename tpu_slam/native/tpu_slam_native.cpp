@@ -100,65 +100,68 @@ void ts_bresenham_masks(const double* origin_cell,       // (2,) fractional
     if (occ_mask[c]) free_mask[c] = 0;
 }
 
-// Karto CreateFromScans pass/hit counters over a WHOLE mission
-// (RayTrace + UpdateCell, Karto.h:5852-5968), mirroring the device
-// rasterizer (ops/gridmap.karto_counts_update_scan) operation-for-
-// operation in float32: sub-resolution ray sampling at step_frac x res,
-// consecutive-duplicate dedup along each beam (the `uniq = idx != prev`
-// chain), free samples stopping one resolution short of the (range-
-// clipped) endpoint, endpoint counted iff the ORIGINAL range is within
-// the threshold. The host-native path for offline/publish map
-// regeneration — scatter-adds are the one primitive where XLA-on-TPU
-// loses to a scalar loop (superlinear scatter cost, see BENCHMARKS.md).
+// math::Round (half away from zero), the karto WorldToGrid convention
+static inline int64_t karto_round(float v) {
+  return (int64_t)(v >= 0.0f ? std::floor(v + 0.5f) : std::ceil(v - 0.5f));
+}
+
+// Karto CreateFromScans pass/hit counters over a WHOLE mission — EXACT
+// reference semantics (AddScan -> RayTrace -> counters, Karto.h:5886-5950),
+// mirroring the device rasterizer (ops/gridmap.karto_counts_update_scan):
+// skip r<=min / r>=max / NaN; clamp the ray at the range threshold (scale
+// the world vector by threshold/r); TraceLine Bresenham marks every visited
+// in-bounds cell +1 pass INCLUSIVE of the endpoint cell; a valid endpoint
+// (r < threshold - 1e-6) adds one more pass and a hit. The host-native path
+// for offline/publish map regeneration — scatter-adds are the one primitive
+// where XLA-on-TPU loses to a scalar loop (superlinear scatter cost, see
+// BENCHMARKS.md). Validated cell-identical against the compiled reference
+// (tests/test_golden_karto.py).
 void ts_karto_counts(const float* origins,    // (T, 2) world
-                     const float* endpoints,  // (T, N, 2) world
-                     const uint8_t* valid,    // (T, N)
+                     const float* endpoints,  // (T, N, 2) world (raw)
+                     const float* ranges,     // (T, N) raw readings
                      int64_t T, int64_t N,
                      float res, float gox, float goy,
                      int64_t W, int64_t H,
-                     float range_threshold, float step_frac, float cell_eps,
+                     float range_threshold, float min_range, float max_range,
                      int32_t* pass_cnt, int32_t* hit_cnt) {  // (H*W)
-  const float max_range = range_threshold;
-  const float step = res * step_frac;
-  const int64_t n_samples = (int64_t)(max_range / step) + 1;
   const float inv_res = 1.0f / res;
-  const int64_t OOB = -1;
   for (int64_t t = 0; t < T; ++t) {
     const float ox = origins[2 * t], oy = origins[2 * t + 1];
+    const int64_t x0 = karto_round((ox - gox) * inv_res);
+    const int64_t y0 = karto_round((oy - goy) * inv_res);
     for (int64_t b = 0; b < N; ++b) {
-      if (!valid[t * N + b]) continue;
-      const float ex = endpoints[(t * N + b) * 2];
-      const float ey = endpoints[(t * N + b) * 2 + 1];
-      const float dx = ex - ox, dy = ey - oy;
-      const float r = std::sqrt(dx * dx + dy * dy);
-      const float r_safe = std::max(r, 1e-9f);
-      const float dirx = dx / r_safe, diry = dy / r_safe;
-      const float r_clip = std::min(r, range_threshold);
-      const float lim = std::min(r_clip, max_range) - res;
-      int64_t prev = OOB - 1;  // anything unequal to a flat index or OOB
-      for (int64_t k = 0; k < n_samples; ++k) {
-        const float tk = (float)k * step;
-        int64_t flat = OOB;
-        if (tk < lim) {
-          const float px = ox + dirx * tk, py = oy + diry * tk;
-          const int64_t ix =
-              (int64_t)std::floor((px - gox) * inv_res + cell_eps);
-          const int64_t iy =
-              (int64_t)std::floor((py - goy) * inv_res + cell_eps);
-          if (ix >= 0 && ix < W && iy >= 0 && iy < H) flat = iy * W + ix;
-        }
-        if (flat != prev && flat != OOB) pass_cnt[flat] += 1;
-        prev = flat;
+      const float r = ranges[t * N + b];
+      if (!(r > min_range) || !(r < max_range) || std::isnan(r)) continue;
+      float ex = endpoints[(t * N + b) * 2];
+      float ey = endpoints[(t * N + b) * 2 + 1];
+      const bool end_valid = r < (range_threshold - 1e-6f);
+      if (r >= range_threshold) {  // trace up to the threshold
+        const float ratio = range_threshold / r;
+        ex = ox + ratio * (ex - ox);
+        ey = oy + ratio * (ey - oy);
       }
-      if (r <= range_threshold) {
-        const int64_t ix =
-            (int64_t)std::floor((ex - gox) * inv_res + cell_eps);
-        const int64_t iy =
-            (int64_t)std::floor((ey - goy) * inv_res + cell_eps);
-        if (ix >= 0 && ix < W && iy >= 0 && iy < H) {
-          pass_cnt[iy * W + ix] += 1;
-          hit_cnt[iy * W + ix] += 1;
-        }
+      const int64_t x1 = karto_round((ex - gox) * inv_res);
+      const int64_t y1 = karto_round((ey - goy) * inv_res);
+      // TraceLine (Karto.h:4680-4745): steep/x-swap normalized Bresenham,
+      // endpoint INCLUSIVE
+      int64_t ax0 = x0, ay0 = y0, ax1 = x1, ay1 = y1;
+      const bool steep = std::llabs(ay1 - ay0) > std::llabs(ax1 - ax0);
+      if (steep) { std::swap(ax0, ay0); std::swap(ax1, ay1); }
+      if (ax0 > ax1) { std::swap(ax0, ax1); std::swap(ay0, ay1); }
+      const int64_t dX = ax1 - ax0;
+      const int64_t dY = std::llabs(ay1 - ay0);
+      const int64_t ystep = ay0 < ay1 ? 1 : -1;
+      int64_t err = 0, y = ay0;
+      for (int64_t x = ax0; x <= ax1; ++x) {
+        const int64_t px = steep ? y : x;
+        const int64_t py = steep ? x : y;
+        if (px >= 0 && px < W && py >= 0 && py < H) pass_cnt[py * W + px]++;
+        err += dY;
+        if (2 * err >= dX) { y += ystep; err -= dX; }
+      }
+      if (end_valid && x1 >= 0 && x1 < W && y1 >= 0 && y1 < H) {
+        pass_cnt[y1 * W + x1]++;
+        hit_cnt[y1 * W + x1]++;
       }
     }
   }

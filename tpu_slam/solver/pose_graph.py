@@ -307,7 +307,14 @@ class PoseGraphSolver:
         self, id_from: int, id_to: int, mean, covariance=None, information=None
     ) -> None:
         if information is None:
-            information = np.linalg.inv(np.asarray(covariance, np.float64))
+            c = np.asarray(covariance, np.float64)
+            try:
+                information = np.linalg.inv(c)
+            except np.linalg.LinAlgError:
+                # degenerate match covariance (collinear response keep-set):
+                # the reference dies on its own Inverse assert here
+                # (Karto.h:2444-2453); regularize instead (PARITY.md dev. 5)
+                information = np.linalg.inv(c + 1e-9 * np.eye(3))
         self._edges.append(
             (
                 self._ids[id_from],
