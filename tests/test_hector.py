@@ -304,3 +304,23 @@ def test_sampling_covariance_off_map_is_finite():
     cov = slam.sampling_covariance(s)
     assert np.isfinite(cov).all()
     assert np.all(np.diag(cov) >= 0)
+
+
+def test_hector_mesh_pipeline_matches_single_device(hector_seq):
+    """HectorSLAM(cfg, mesh=...): row-stripe-sharded map pyramid (halo GN
+    match + no-communication sharded rasterizer) must reproduce the
+    single-device mission — trajectory AND final map (VERDICT item 2:
+    spatial parallelism wired into the flagship pipeline)."""
+    from tpu_slam.parallel.mesh import make_mesh
+
+    cfg, scans, seq = hector_seq
+    ref = HectorSLAM(cfg)
+    ref.last_pose = jnp.asarray(seq.gt_poses[0], jnp.float32)
+    est_ref = ref.run(scans)
+
+    slam = HectorSLAM(cfg, mesh=make_mesh())
+    slam.last_pose = jnp.asarray(seq.gt_poses[0], jnp.float32)
+    est = slam.run(scans)
+
+    np.testing.assert_allclose(est, est_ref, atol=1e-4)
+    np.testing.assert_array_equal(slam.to_ros_map(), ref.to_ros_map())

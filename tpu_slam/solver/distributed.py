@@ -22,44 +22,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu_slam.solver.pose_graph import (
+    assemble_dense,
     cg_matvec,
     edge_jacobians,
     edge_residuals,
+    finalize_dense_solve,
     normal_equations,
 )
-
-
-def _assemble_dense(Hd, Hij, ei, ej):
-    """Block form → full (3M, 3M), no damping/gauge handling."""
-    M = Hd.shape[0]
-    H = jnp.zeros((M, 3, M, 3), Hd.dtype)
-    H = H.at[jnp.arange(M), :, jnp.arange(M), :].set(Hd)
-    H = H.at[ei, :, ej, :].add(Hij)
-    H = H.at[ej, :, ei, :].add(jnp.swapaxes(Hij, -1, -2))
-    return H.reshape(3 * M, 3 * M)
-
-
-def _finalize_solve(H, b, lam, free_mask):
-    """Apply LM damping + gauge fixing to an assembled dense system and
-    solve Hδ = −b (same semantics as pose_graph.dense_solve)."""
-    M = free_mask.shape[0]
-    dt = H.dtype
-    H = H.reshape(M, 3, M, 3)
-    Hd = H[jnp.arange(M), :, jnp.arange(M), :]
-    Hd = (Hd + 1e-12 * jnp.eye(3, dtype=dt))
-    Hd = Hd.at[:, jnp.arange(3), jnp.arange(3)].mul(1.0 + lam)
-    H = H.at[jnp.arange(M), :, jnp.arange(M), :].set(Hd)
-    fm = free_mask.astype(dt)
-    H = H * fm[:, None, None, None] * fm[None, None, :, None]
-    H = H.at[jnp.arange(M), :, jnp.arange(M), :].add(
-        (1.0 - fm)[:, None, None] * jnp.eye(3, dtype=dt)
-    )
-    bb = (b * fm[:, None]).reshape(-1)
-    Hf = H.reshape(3 * M, 3 * M)
-    delta = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(Hf), -bb
-    )
-    return delta.reshape(M, 3)
 
 
 def make_distributed_lm_delta(mesh: Mesh, n_nodes: int, axis: str = "data"):
@@ -73,10 +42,10 @@ def make_distributed_lm_delta(mesh: Mesh, n_nodes: int, axis: str = "data"):
         Hd, Hij, b = normal_equations(
             poses, ei, ej, means, infos, mask, n_nodes
         )
-        H_local = _assemble_dense(Hd, Hij, ei, ej)
+        H_local = assemble_dense(Hd, Hij, ei, ej)
         H = jax.lax.psum(H_local, axis)
         b = jax.lax.psum(b, axis)
-        return _finalize_solve(H, b, lam, free_mask)
+        return finalize_dense_solve(H, b, lam, free_mask)
 
     return jax.jit(
         jax.shard_map(

@@ -121,24 +121,33 @@ def normal_equations(poses, ei, ej, means, infos, mask, n_nodes_max):
     return Hd, Hij, b
 
 
-def dense_solve(Hd, Hij, ei, ej, b, lam, free_mask):
-    """Assemble the full (3M, 3M) system and solve Hδ = −b by Cholesky.
+def assemble_dense(Hd, Hij, ei, ej):
+    """Block form → full (M,3,M,3) system, NO damping / gauge handling.
+
+    Kept separate from the solve so the distributed path can psum the
+    assembled partials from per-device edge shards before finalizing."""
+    M = Hd.shape[0]
+    H = jnp.zeros((M, 3, M, 3), Hd.dtype)
+    H = H.at[jnp.arange(M), :, jnp.arange(M), :].set(Hd)
+    H = H.at[ei, :, ej, :].add(Hij)
+    H = H.at[ej, :, ei, :].add(jnp.swapaxes(Hij, -1, -2))
+    return H
+
+
+def finalize_dense_solve(H, b, lam, free_mask):
+    """Damp + gauge-fix an assembled (M,3,M,3) system, solve Hδ = −b.
 
     free_mask (M,): False rows are gauge-fixed (node 0, nFixed=1 in
     spa_solver.cc) — their rows/cols are identity/zero.
     LM damping is multiplicative on the block diagonal: diag *= (1+λ)
-    (setupSys, spa2d.cpp:300-310).
-    """
-    M = Hd.shape[0]
-    dt = Hd.dtype
+    (setupSys, spa2d.cpp:300-310)."""
+    M = free_mask.shape[0]
+    dt = H.dtype
     eye3 = jnp.eye(3, dtype=dt)
+    Hd = H[jnp.arange(M), :, jnp.arange(M), :]
     Hd = Hd + 1e-12 * eye3  # keep unused nodes invertible
     Hd = Hd.at[:, jnp.arange(3), jnp.arange(3)].mul(1.0 + lam)
-
-    H = jnp.zeros((M, 3, M, 3), dt)
     H = H.at[jnp.arange(M), :, jnp.arange(M), :].set(Hd)
-    H = H.at[ei, :, ej, :].add(Hij)
-    H = H.at[ej, :, ei, :].add(jnp.swapaxes(Hij, -1, -2))
 
     fm = free_mask.astype(dt)
     H = H * fm[:, None, None, None] * fm[None, None, :, None]
@@ -155,21 +164,41 @@ def dense_solve(Hd, Hij, ei, ej, b, lam, free_mask):
     return delta.reshape(M, 3)
 
 
-def cg_matvec(x, Hd_damped, Hij, ei, ej, free_mask):
-    """y = H x with H in block form — the shardable edge-wise matvec."""
+def dense_solve(Hd, Hij, ei, ej, b, lam, free_mask):
+    """Assemble the full (3M, 3M) system and solve Hδ = −b by Cholesky."""
+    return finalize_dense_solve(
+        assemble_dense(Hd, Hij, ei, ej), b, lam, free_mask
+    )
+
+
+def cg_matvec(x, Hd_damped, Hij, ei, ej, free_mask, psum_axis=None):
+    """y = H x with H in block form — the shardable edge-wise matvec.
+
+    With ``psum_axis``, Hij/ei/ej are this device's edge shard: the
+    off-diagonal contribution is psum'd over the mesh (Hd_damped, x and
+    free_mask are replicated)."""
     fm = free_mask.astype(x.dtype)
     x = x * fm[:, None]
-    y = jnp.einsum("mab,mb->ma", Hd_damped, x)
     xi = x[ei]
     xj = x[ej]
-    y = y.at[ei].add(jnp.einsum("eab,eb->ea", Hij, xj))
-    y = y.at[ej].add(jnp.einsum("eba,eb->ea", Hij, xi))
+    y_off = jnp.zeros_like(x)
+    y_off = y_off.at[ei].add(jnp.einsum("eab,eb->ea", Hij, xj))
+    y_off = y_off.at[ej].add(jnp.einsum("eba,eb->ea", Hij, xi))
+    if psum_axis is not None:
+        y_off = jax.lax.psum(y_off, psum_axis)
+    y = jnp.einsum("mab,mb->ma", Hd_damped, x) + y_off
     y = y * fm[:, None] + x * (1.0 - fm[:, None])
     return y
 
 
-def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol):
-    """Block-Jacobi preconditioned CG (the bpcg.h analogue)."""
+def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol,
+             psum_axis=None):
+    """Block-Jacobi preconditioned CG (the bpcg.h analogue).
+
+    Runs at most ``iters`` steps, stopping early once the residual has
+    dropped below ``tol`` relative to the RHS: ‖r‖² ≤ tol·‖b‖² (bpcg.h's
+    residual test; tol ≤ 0 disables the early-out). With ``psum_axis``
+    the edge arrays are per-device shards (Hd/b must already be psum'd)."""
     dt = Hd.dtype
     eye3 = jnp.eye(3, dtype=dt)
     Hdd = Hd + 1e-12 * eye3
@@ -182,13 +211,15 @@ def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol):
     x0 = jnp.zeros_like(bb)
 
     def mv(x):
-        return cg_matvec(x, Hdd, Hij, ei, ej, free_mask)
+        return cg_matvec(x, Hdd, Hij, ei, ej, free_mask, psum_axis)
 
     def precond(r):
         return jnp.einsum("mab,mb->ma", Minv, r)
 
-    def body(carry, _):
-        x, r, z, p, rz = carry
+    stop2 = jnp.asarray(max(float(tol), 0.0), dt) * jnp.sum(bb * bb)
+
+    def body(state):
+        x, r, z, p, rz, it = state
         Ap = mv(p)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
@@ -198,21 +229,31 @@ def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol):
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new), jnp.sum(r * r)
+        return (x, r, z, p, rz_new, it + 1)
+
+    def cond(state):
+        _x, r, _z, _p, _rz, it = state
+        return (it < iters) & (jnp.sum(r * r) > stop2)
 
     r0 = bb - mv(x0)
     z0 = precond(r0)
-    (x, r, _, _, _), _ = jax.lax.scan(
-        body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None, length=iters
+    x, *_ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, jnp.sum(r0 * z0), jnp.int32(0))
     )
     return x
 
 
 def _lm_loop_program(
     p0, lam0, ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
-    *, M, use_dense, iters, cg_iterations, cg_tolerance,
+    *, M, use_dense, iters, cg_iterations, cg_tolerance, psum_axis=None,
 ):
-    """The device-resident doSPA loop body (see PoseGraphSolver.compute)."""
+    """The device-resident doSPA loop body (see PoseGraphSolver.compute).
+
+    With ``psum_axis`` the edge arrays are per-device shards (running
+    inside shard_map over a mesh): each device assembles partial normal
+    equations / costs from its shard and one psum forms the global system
+    — the distributed setupSparseSys (spa2d.cpp:328-413) the reference's
+    serial solver never had. Poses and free_mask stay replicated."""
 
     def solve(p, lam):
         if schur_part is not None:
@@ -226,14 +267,25 @@ def _lm_loop_program(
             p, ei_d, ej_d, means_d, infos_d, mask_d, M
         )
         if use_dense:
+            if psum_axis is not None:
+                H = jax.lax.psum(
+                    assemble_dense(Hd, Hij, ei_d, ej_d), psum_axis
+                )
+                return finalize_dense_solve(
+                    H, jax.lax.psum(b, psum_axis), lam, free_d
+                )
             return dense_solve(Hd, Hij, ei_d, ej_d, b, lam, free_d)
+        if psum_axis is not None:
+            Hd = jax.lax.psum(Hd, psum_axis)
+            b = jax.lax.psum(b, psum_axis)
         return cg_solve(
             Hd, Hij, ei_d, ej_d, b, lam, free_d,
-            cg_iterations, cg_tolerance,
+            cg_iterations, cg_tolerance, psum_axis,
         )
 
     def cost_of(p):
-        return graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
+        c = graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
+        return jax.lax.psum(c, psum_axis) if psum_axis is not None else c
 
     def body(state):
         p, lam, laminc, cost, it, good, _done = state
@@ -285,9 +337,17 @@ class PoseGraphSolver:
     Capacities grow in power-of-two buckets so jitted shapes are reused.
     """
 
-    def __init__(self, cfg: SolverConfig, dtype=jnp.float32):
+    def __init__(self, cfg: SolverConfig, dtype=jnp.float32,
+                 mesh=None, mesh_axis: str = "data"):
+        """``mesh``: optional jax.sharding.Mesh — the FULL LM while_loop
+        then runs as one shard_map program with constraint edges sharded
+        over ``mesh_axis`` and the normal equations / costs assembled by
+        psum (graph parallelism, SURVEY §2.5; the distributed analogue of
+        setupSparseSys, spa2d.cpp:328-413)."""
         self.cfg = cfg
         self.dtype = dtype
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self._poses: list[np.ndarray] = []
         self._edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self._ids: dict[int, int] = {}  # external id → dense index
@@ -366,6 +426,10 @@ class PoseGraphSolver:
         iters = max_iterations or cfg.max_iterations
         M = self._bucket(max(self.num_nodes, 2))
         E = self._bucket(max(self.num_edges, 1))
+        if self.mesh is not None:
+            D = self.mesh.shape[self.mesh_axis]
+            while E % D:  # edge shards must tile the mesh axis
+                E *= 2
         use_dense = self.num_nodes <= cfg.use_dense_below
 
         poses = np.zeros((M, 3))
@@ -388,7 +452,8 @@ class PoseGraphSolver:
         free_d = jnp.asarray(free)
 
         schur_part = None
-        if cfg.use_schur and self.num_nodes > 2 * cfg.schur_submaps:
+        if (self.mesh is None and cfg.use_schur
+                and self.num_nodes > 2 * cfg.schur_submaps):
             from tpu_slam.solver.schur import (
                 bucket_partition, build_partition,
             )
@@ -412,22 +477,49 @@ class PoseGraphSolver:
         key = (
             M, E, use_dense, iters,
             cfg.cg_iterations, cfg.cg_tolerance, self.dtype,
+            None if self.mesh is None else (self.mesh, self.mesh_axis),
             None if schur_part is None else tuple(
                 a.shape for a in jax.tree_util.tree_leaves(schur_part)
             ),
         )
         if key not in self._lm_cache:
-            self._lm_cache[key] = jax.jit(
-                functools.partial(
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                ax = self.mesh_axis
+                body = functools.partial(
                     _lm_loop_program, M=M, use_dense=use_dense,
                     iters=iters, cg_iterations=cfg.cg_iterations,
-                    cg_tolerance=cfg.cg_tolerance,
+                    cg_tolerance=cfg.cg_tolerance, psum_axis=ax,
+                    schur_part=None,
                 )
+                self._lm_cache[key] = jax.jit(
+                    jax.shard_map(
+                        body,
+                        mesh=self.mesh,
+                        in_specs=(P(), P(), P(ax), P(ax), P(ax), P(ax),
+                                  P(ax), P()),
+                        out_specs=(P(), P(), P(), P()),
+                    )
+                )
+            else:
+                self._lm_cache[key] = jax.jit(
+                    functools.partial(
+                        _lm_loop_program, M=M, use_dense=use_dense,
+                        iters=iters, cg_iterations=cfg.cg_iterations,
+                        cg_tolerance=cfg.cg_tolerance,
+                    )
+                )
+        if self.mesh is not None:
+            arrays = self._lm_cache[key](
+                poses_d, jnp.asarray(cfg.initial_lambda, self.dtype),
+                ei_d, ej_d, means_d, infos_d, mask_d, free_d,
             )
-        arrays = self._lm_cache[key](
-            poses_d, jnp.asarray(cfg.initial_lambda, self.dtype),
-            ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
-        )
+        else:
+            arrays = self._lm_cache[key](
+                poses_d, jnp.asarray(cfg.initial_lambda, self.dtype),
+                ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
+            )
         return PendingSolve(self, arrays, self.num_nodes)
 
     def clear(self) -> None:
@@ -460,7 +552,9 @@ class PendingSolve:
             return self._stats
         poses_d, cost0_d, cost_d, good_d = self._arrays
         s = self._solver
-        out = np.asarray(poses_d, np.float64)
+        # np.array (copy): asarray can return a read-only zero-copy view
+        # of the device buffer when dtypes already match (x64 path)
+        out = np.array(poses_d, np.float64)
         out[0] = s._poses[0]  # fixed node untouched
         for k in range(self.n_nodes):
             s._poses[k] = out[k]
