@@ -148,6 +148,9 @@ def bench_karto():
 
 
 def main():
+    from tpu_slam.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     scans_per_sec = bench_plicp()
     baseline_cpu = 1000.0 / 6.15  # ≈163 scans/s (4.2–8.1 ms midpoint)
 

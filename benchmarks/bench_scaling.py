@@ -52,6 +52,10 @@ def main():
 
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from tpu_slam.utils.compile_cache import enable
+
+        enable()  # persistent XLA cache: tunnel compiles are slow
 
     import numpy as np
     import jax.numpy as jnp

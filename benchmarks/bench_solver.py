@@ -34,6 +34,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from tpu_slam.utils.compile_cache import enable
+
+        enable()  # persistent XLA cache: tunnel compiles are slow
 
     import dataclasses
 

@@ -76,8 +76,10 @@ def test_karto_front_end_tracks(loop_setup):
     gt = seq.gt_poses[accepted]
     ate = ate_rmse(est, gt)
     ate_odom = ate_rmse(odom[accepted], gt)
-    assert ate < ate_odom * 0.9, (ate, ate_odom)
-    assert ate < 0.4, ate
+    # measured 0.076 m vs 0.249 m odometry (VERDICT weak 5: gates sized
+    # at ~2x the measured value so a 3x matcher regression FAILS)
+    assert ate < ate_odom * 0.55, (ate, ate_odom)
+    assert ate < 0.15, ate
 
 
 def test_karto_loop_closure_improves(loop_setup):
@@ -88,8 +90,8 @@ def test_karto_loop_closure_improves(loop_setup):
     gt = seq.gt_poses[accepted]
     ate = ate_rmse(est, gt)
     assert slam.loop_closures >= 1, "no loop closures found"
-    # with loop closure the full-loop trajectory should be well under 20 cm
-    assert ate < 0.2, ate
+    # measured 0.023-0.029 m; 2x margin (VERDICT weak 5)
+    assert ate < 0.06, ate
 
 
 def test_karto_multi_sensor_loop_closure(loop_setup):

@@ -399,7 +399,10 @@ class KartoSLAM:
         power-of-two (lanes, scans) footprint so compiles stay bounded. The
         world transform and view filter run inside the fused device program
         (CorrelativeMatcher._full_chains)."""
-        cap_c = {1: 1, 2: 2}.get(len(chains), 4 if len(chains) <= 4 else 8)
+        cap_c = 1 if len(chains) == 1 else 8  # TWO lane shapes only:
+        # every distinct (C, S) pair is a separate multi-second XLA
+        # compile over the tunnel; padding idle lanes costs ~4 ms each
+        # on device — orders of magnitude cheaper than one compile
         cap_s = self._bucket(max(len(c) for c in chains))
         # lasers may have different beam counts (one shape per registered
         # sensor); pad every record to the largest, invalid-padded
@@ -426,7 +429,7 @@ class KartoSLAM:
     def _match_chains(
         self, matcher: CorrelativeMatcher, rec: ScanRecord,
         chains: list[list[int]], center_pose: np.ndarray,
-        do_penalize=True, do_fine=True, group=4,
+        do_penalize=True, do_fine=True, group=8,
     ) -> list[MatchResult]:
         """Match ``rec`` against every chain — ONE device dispatch + ONE
         host sync per group of ≤4 chains (the reference runs one sequential
@@ -480,7 +483,10 @@ class KartoSLAM:
     def _chain_batch_indices(self, chains: list[list[int]]):
         """Store-row form of _chain_batch_inputs: (C, S) row indices
         (−1 = padded) + (C, S, 3) poses."""
-        cap_c = {1: 1, 2: 2}.get(len(chains), 4 if len(chains) <= 4 else 8)
+        cap_c = 1 if len(chains) == 1 else 8  # TWO lane shapes only:
+        # every distinct (C, S) pair is a separate multi-second XLA
+        # compile over the tunnel; padding idle lanes costs ~4 ms each
+        # on device — orders of magnitude cheaper than one compile
         cap_s = self._bucket(max(len(c) for c in chains))
         poses = np.zeros((cap_c, cap_s, 3), np.float32)
         idx = np.full((cap_c, cap_s), -1, np.int32)
@@ -655,19 +661,21 @@ class KartoSLAM:
         # 3) near chains — all matched in one batched device program
         # (the reference's per-chain MatchScan loop, Mapper.cpp:928-967)
         k = self.cfg.karto
-        chains = [
-            c
-            for c in self._find_near_chains(sid)
-            if len(c) >= self.cfg.loop.loop_match_minimum_chain_size
-        ]
+        with self.timer.stage("near_gather"):
+            chains = [
+                c
+                for c in self._find_near_chains(sid)
+                if len(c) >= self.cfg.loop.loop_match_minimum_chain_size
+            ]
         if chains:
             # dense revisit areas surface many near chains at once; the
             # small front-end grids afford 8 lanes per program, halving
             # the dispatch+sync count exactly where missions grow
-            results = self._match_chains(
-                self.front_matcher, rec, chains, rec.corrected_pose,
-                do_penalize=False, group=8,
-            )
+            with self.timer.stage("near_match"):
+                results = self._match_chains(
+                    self.front_matcher, rec, chains, rec.corrected_pose,
+                    do_penalize=False, group=8,
+                )
             for chain, res in zip(chains, results):
                 if (
                     float(res.response)
@@ -874,14 +882,15 @@ class KartoSLAM:
                 # (host only)
                 cands = []
                 s = start
-                gs = self._loop_gather_state(sid)
-                while True:
-                    chain, s = self._find_possible_loop(
-                        sid, s, sname, gather_state=gs
-                    )
-                    if not chain:
-                        break
-                    cands.append((chain, s))
+                with self.timer.stage("loop_gather"):
+                    gs = self._loop_gather_state(sid)
+                    while True:
+                        chain, s = self._find_possible_loop(
+                            sid, s, sname, gather_state=gs
+                        )
+                        if not chain:
+                            break
+                        cands.append((chain, s))
                 if not cands:
                     break
                 with self.timer.stage("loop_coarse"):
