@@ -27,55 +27,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def outdoor_cfg():
-    """mapper_params_outdoor.yaml values on the tpu_slam config tree."""
-    from tpu_slam.config import default_config
+    """The shipped karto_outdoor preset (mapper_params_outdoor.yaml
+    parity, tpu_slam/configs/karto_outdoor.yaml) + async back-end."""
+    from tpu_slam.config import preset
 
-    cfg = default_config()
+    cfg = preset("karto_outdoor")
     return dataclasses.replace(
         cfg,
-        scan=dataclasses.replace(
-            cfg.scan,
-            num_beams=360,
-            range_max=50.0,
-            range_threshold=50.0,  # use_scan_range: 50
-        ),
-        correlative=dataclasses.replace(
-            cfg.correlative,
-            correlation_search_space_dimension=0.3,
-            correlation_search_space_resolution=0.05,
-            correlation_search_space_smear_deviation=0.03,
-            # yaml values are squared raw by the setters (Mapper.cpp:1919-1927)
-            distance_variance_penalty=0.3**2,
-            angle_variance_penalty=0.1**2,
-            minimum_angle_penalty=0.9,
-            minimum_distance_penalty=0.5,
-            coarse_search_angle_offset=0.349,
-            coarse_angle_resolution=0.0349,
-            fine_search_angle_offset=0.00349,
-            use_response_expansion=True,
-        ),
-        loop=dataclasses.replace(
-            cfg.loop,
-            loop_search_space_dimension=15.0,
-            loop_search_space_resolution=0.1,
-            loop_search_space_smear_deviation=0.3,
-            loop_search_maximum_distance=15.0,
-            loop_match_minimum_chain_size=5,
-            loop_match_maximum_variance_coarse=3.0**2,
-            loop_match_minimum_response_coarse=0.35,
-            loop_match_minimum_response_fine=0.45,
-        ),
-        karto=dataclasses.replace(
-            cfg.karto,
-            minimum_travel_distance=0.2,
-            minimum_travel_heading=0.174,
-            minimum_time_interval=3600.0,
-            scan_buffer_size=110,
-            scan_buffer_maximum_scan_distance=50.0,
-            link_scan_maximum_distance=1.5,
-            link_match_minimum_response_fine=0.1,
-            async_loop_closure=True,
-        ),
+        karto=dataclasses.replace(cfg.karto, async_loop_closure=True),
     )
 
 

@@ -268,3 +268,29 @@ def test_cli_smoke(tmp_path):
 
     assert os.path.exists(out + ".pgm") and os.path.exists(out + ".yaml")
     assert main(["odometry", "--sim", "--sim-scans", "10"]) == 0
+
+
+def test_config_presets_match_reference_yaml():
+    """The shipped presets mirror the reference's two mapper parameter
+    files (lesson6/config/mapper_params.yaml / mapper_params_outdoor.yaml):
+    spot-check the values that differ between them."""
+    from tpu_slam.config import preset
+
+    indoor = preset("karto_indoor")
+    outdoor = preset("karto_outdoor")
+    assert indoor.scan.range_threshold == 12.0  # use_scan_range
+    assert outdoor.scan.range_threshold == 50.0
+    assert indoor.correlative.correlation_search_space_resolution == 0.01
+    assert outdoor.correlative.correlation_search_space_resolution == 0.05
+    assert indoor.loop.loop_search_space_dimension == 10.0
+    assert outdoor.loop.loop_search_space_dimension == 15.0
+    assert outdoor.loop.loop_search_space_smear_deviation == 0.3
+    assert outdoor.karto.scan_buffer_size == 110
+    assert outdoor.karto.scan_buffer_maximum_scan_distance == 50.0
+    # squared-raw penalty mapping (Mapper.cpp:1919-1927)
+    assert indoor.correlative.distance_variance_penalty == 0.5**2
+    assert outdoor.correlative.distance_variance_penalty == 0.3**2
+    import pytest
+
+    with pytest.raises(ValueError):
+        preset("nope")
