@@ -97,6 +97,30 @@ def main():
     # the delta is replicated; every process reads its addressable shard
     got = np.asarray(got_g.addressable_shards[0].data)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # the PRODUCTION solver across the multi-process mesh: the full LM
+    # while_loop under shard_map, edges sharded over both processes'
+    # devices — must match a plain single-device solve of the same graph
+    from tpu_slam.config import SolverConfig
+    from tpu_slam.solver.pose_graph import PoseGraphSolver
+
+    def build(solver):
+        for i in range(M):
+            solver.add_node(i, poses[i])
+        for k in range(E):
+            solver.add_constraint(
+                int(ei[k]), int(ej[k]), means[k],
+                information=np.eye(3) * 50,
+            )
+        return solver
+
+    ref = build(PoseGraphSolver(SolverConfig()))
+    ref.compute()
+    dist = build(PoseGraphSolver(SolverConfig(), mesh=mesh))
+    dist.compute()
+    np.testing.assert_allclose(
+        dist.get_poses(), ref.get_poses(), atol=5e-4
+    )
     print(f"proc {pid}: OK ({jax.process_count()} processes, "
           f"{n_dev} global devices)", flush=True)
 

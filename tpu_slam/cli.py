@@ -40,6 +40,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--sim-scans", type=int, default=120)
     ap.add_argument("--config", help="YAML config overrides (rosparam tier)")
+    ap.add_argument(
+        "--preset",
+        help="shipped config preset (e.g. karto_indoor / karto_outdoor — "
+        "the reference's mapper_params YAMLs); --config overrides on top",
+    )
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--save-map", help="write <base>.pgm + <base>.yaml")
     ap.add_argument("--checkpoint", help="karto: save mapper state here")
@@ -89,10 +94,10 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from tpu_slam.config import config_from_yaml, default_config
+    from tpu_slam.config import config_from_yaml, default_config, preset
     from tpu_slam.utils.evaluation import ate_rmse
 
-    cfg = default_config()
+    cfg = preset(args.preset) if args.preset else default_config()
     if args.config:
         cfg = config_from_yaml(args.config, base=cfg)
     cfg, scans, gt, _ = _load_scans(args, cfg)

@@ -511,6 +511,26 @@ class PoseGraphSolver:
                     )
                 )
         if self.mesh is not None:
+            if jax.process_count() > 1:
+                # multi-host mesh: host-local numpy can't be auto-sharded
+                # onto non-addressable devices; build global arrays from
+                # per-process shards (every process holds identical data)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                def mk(x, spec):
+                    x = np.asarray(x)
+                    return jax.make_array_from_callback(
+                        x.shape, NamedSharding(self.mesh, spec),
+                        lambda idx: x[idx],
+                    )
+
+                ax = P(self.mesh_axis)
+                poses_d = mk(poses.astype(self.dtype), P())
+                ei_d, ej_d = mk(ei, ax), mk(ej, ax)
+                means_d = mk(means.astype(self.dtype), ax)
+                infos_d = mk(infos.astype(self.dtype), ax)
+                mask_d = mk(mask, ax)
+                free_d = mk(free, P())
             arrays = self._lm_cache[key](
                 poses_d, jnp.asarray(cfg.initial_lambda, self.dtype),
                 ei_d, ej_d, means_d, infos_d, mask_d, free_d,
@@ -551,14 +571,22 @@ class PendingSolve:
         if self._stats is not None:
             return self._stats
         poses_d, cost0_d, cost_d, good_d = self._arrays
+
+        def fetch(a):
+            # multi-host replicated outputs aren't fully addressable; every
+            # process reads its own (complete, replicated) shard
+            if getattr(a, "is_fully_addressable", True):
+                return np.array(a, np.float64)
+            return np.array(a.addressable_shards[0].data, np.float64)
+
         s = self._solver
         # np.array (copy): asarray can return a read-only zero-copy view
         # of the device buffer when dtypes already match (x64 path)
-        out = np.array(poses_d, np.float64)
+        out = fetch(poses_d)
         out[0] = s._poses[0]  # fixed node untouched
         for k in range(self.n_nodes):
             s._poses[k] = out[k]
         self._stats = SolveStats(
-            int(good_d), float(cost0_d), float(cost_d)
+            int(fetch(good_d)), float(fetch(cost0_d)), float(fetch(cost_d))
         )
         return self._stats
