@@ -431,12 +431,16 @@ class KartoSLAM:
         chains: list[list[int]], center_pose: np.ndarray,
         do_penalize=True, do_fine=True, group=8,
     ) -> list[MatchResult]:
-        """Match ``rec`` against every chain — ONE device dispatch + ONE
-        host sync per group of ≤4 chains (the reference runs one sequential
-        MatchScan per chain, Mapper.cpp:902-973 / :976-1051). Chain point
-        data is addressed from the device-resident store by row index
-        whenever the group's scans share one beam count; only indices +
-        poses cross the host↔device link."""
+        """Match ``rec`` against every chain — ONE device dispatch per
+        group of ≤``group`` (default 8) chains, with all groups dispatched
+        before the single host sync round (the reference runs one
+        sequential MatchScan per chain, Mapper.cpp:902-973 / :976-1051).
+        Lane count per dispatch is padded to one of TWO shapes (1 or 8 —
+        the cap_c rule in _chain_batch_inputs) so multi-chain groups of any
+        size reuse one compiled executable. Chain point data is addressed
+        from the device-resident store by row index whenever the group's
+        scans share one beam count; only indices + poses cross the
+        host↔device link."""
         out = []
         ns = {self.scans[i].pts_laser.shape[0] for c in chains for i in c}
         store = self._stores.get(next(iter(ns))) if len(ns) == 1 else None
@@ -784,6 +788,17 @@ class KartoSLAM:
         )
         if self.mesh is not None:
             d2 = self._ring_distances(refs[sid], refs)
+            # the ring pass computes d2 in f32 on device while the
+            # single-device path is f64: keyframes within f32 rounding of
+            # the range boundary could classify differently — recompute
+            # those few rows exactly on host so mesh and single-device
+            # missions accept identical loop candidates
+            t2 = lp.loop_search_maximum_distance**2
+            border = np.abs(d2 - t2) < 1e-3
+            if border.any():
+                d2[border] = np.sum(
+                    (refs[border] - refs[sid]) ** 2, axis=-1
+                )
         else:
             d2 = np.sum((refs - refs[sid]) ** 2, axis=-1)
         in_range = d2 < lp.loop_search_maximum_distance**2 + 1e-6
@@ -794,17 +809,33 @@ class KartoSLAM:
         (parallel/loop_search.make_ring_loop_search): the keyframe store is
         sharded over the mesh axis and blocks rotate by ppermute — the
         distributed FindPossibleLoopClosure sweep (Mapper.cpp:1350-1391)."""
+        import jax
+
         from tpu_slam.parallel.loop_search import make_ring_loop_search
 
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "KartoSLAM(mesh=...) ring loop search needs a "
+                "single-process mesh: the sharded (Q, K) distance output "
+                "is not fully addressable across processes. Run the "
+                "pipeline per host and use the multi-process "
+                "PoseGraphSolver (solver/pose_graph.py) for the "
+                "distributed solve."
+            )
         if self._ring_search is None:
             self._ring_search = make_ring_loop_search(self.mesh)
-        D = int(np.prod(list(self.mesh.shape.values())))
+        # the ring pass shards over the 'data' axis only — K must tile
+        # THAT axis size (not the product of all mesh axes, and not
+        # necessarily a power of two)
+        D = self.mesh.shape["data"]
         n = refs.shape[0]
-        # pad the keyframe axis to a mesh-divisible bucket (power-of-two
-        # growth so compiled shapes are reused as the mission grows)
-        K = max(D, 16)
-        while K < n:
-            K *= 2
+        # pad the keyframe axis to a mesh-divisible bucket: per-device
+        # block grows by powers of two so compiled shapes are reused as
+        # the mission grows, K = block * D always tiles the axis
+        blk = 1
+        while blk * D < max(n, 16):
+            blk *= 2
+        K = blk * D
         kf = np.full((K, 2), 1e9, np.float32)
         kf[:n] = refs
         q = np.broadcast_to(

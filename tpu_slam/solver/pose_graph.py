@@ -196,9 +196,13 @@ def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol,
     """Block-Jacobi preconditioned CG (the bpcg.h analogue).
 
     Runs at most ``iters`` steps, stopping early once the residual has
-    dropped below ``tol`` relative to the RHS: ‖r‖² ≤ tol·‖b‖² (bpcg.h's
-    residual test; tol ≤ 0 disables the early-out). With ``psum_axis``
-    the edge arrays are per-device shards (Hd/b must already be psum'd)."""
+    dropped below ``tol`` relative to the RHS: ‖r‖² ≤ tol·‖b‖² (tol ≤ 0
+    disables the early-out). Deviation from the reference: bpcg.h breaks
+    on the Jacobi-PRECONDITIONED residual r·(M⁻¹r) relative to its initial
+    value; with tol on a squared norm the effective relative tolerance
+    here is √tol, looser — absorbed by the conservative 1e-10 default
+    (PARITY.md deviation 8). With ``psum_axis`` the edge arrays are
+    per-device shards (Hd/b must already be psum'd)."""
     dt = Hd.dtype
     eye3 = jnp.eye(3, dtype=dt)
     Hdd = Hd + 1e-12 * eye3
