@@ -103,10 +103,15 @@ def main():
         f"map {m.shape}: {(m == 100).sum()} occ / {(m == 0).sum()} free"
     )
     if args.save_map:
+        from tpu_slam.models.karto.occupancy import karto_graph_png
         from tpu_slam.utils.map_io import save_map
 
         paths = save_map(args.save_map, np.asarray(m), gcfg)
         print(f"map saved: {paths[0]} + {paths[1]}")
+        gpath = karto_graph_png(
+            slam, args.save_map + "_graph.png", ros_map=m, grid=gcfg
+        )
+        print(f"pose graph saved: {gpath}")
     for ev in slam.events.history[-3:]:
         print(f"  event [{ev.kind}] {ev.message}")
     print("stage timing (host wall incl. device sync):")

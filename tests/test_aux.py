@@ -267,7 +267,99 @@ def test_cli_smoke(tmp_path):
     import os
 
     assert os.path.exists(out + ".pgm") and os.path.exists(out + ".yaml")
+    # karto runs also export the pose-graph visualization
+    assert os.path.exists(out + "_graph.png")
     assert main(["odometry", "--sim", "--sim-scans", "10"]) == 0
+
+
+def _decode_png(path):
+    """Minimal PNG decode for save_png's output (8-bit RGB, filter 0)."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    i, idat = 8, b""
+    w = h = None
+    while i < len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert (depth, ctype) == (8, 2)
+        elif tag == b"IDAT":
+            idat += body
+        i += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + w * 3)
+    assert (rows[:, 0] == 0).all()  # filter type 0 per scanline
+    return rows[:, 1:].reshape(h, w, 3)
+
+
+def test_graph_png_renders_typed_edges(tmp_path):
+    """save_graph_png draws nodes and sequential/chain/loop edges in their
+    palette colors at the correct map cells (the publishGraphVisualization
+    artifact, karto_slam.cc:603-682)."""
+    from tpu_slam.config import GridConfig
+    from tpu_slam.utils.map_io import GRAPH_COLORS, save_graph_png
+
+    grid = GridConfig(
+        resolution=0.1, size_x=40, size_y=30, origin_x=0.0, origin_y=0.0
+    )
+    m = np.zeros((30, 40), np.int8)  # all free
+    poses = np.array(
+        [[0.5, 0.5, 0.0], [2.5, 0.5, 0.0], [2.5, 2.5, 0.0], [0.5, 2.5, 0.0]]
+    )
+    edges = [
+        (0, 1, "sequential"), (1, 2, "sequential"), (2, 3, "chain"),
+        (3, 0, "loop"),
+    ]
+    path = save_graph_png(str(tmp_path / "g.png"), m, grid, poses, edges)
+    rgb = _decode_png(path)[::-1]  # back to south-edge-first rows
+    assert rgb.shape == (30, 40, 3)
+    # midpoint of each edge carries that edge's color; nodes their own
+    assert tuple(rgb[5, 15]) == GRAPH_COLORS["sequential"]  # (1.5, 0.5)
+    assert tuple(rgb[15, 25]) == GRAPH_COLORS["sequential"]  # (2.5, 1.5)
+    assert tuple(rgb[25, 15]) == GRAPH_COLORS["chain"]  # (1.5, 2.5)
+    assert tuple(rgb[15, 5]) == GRAPH_COLORS["loop"]  # (0.5, 1.5)
+    assert tuple(rgb[5, 6]) == GRAPH_COLORS["node"]  # next to pose 0
+    # background stays the trinary free color
+    assert tuple(rgb[2, 35]) == (254, 254, 254)
+
+
+def test_karto_records_edge_kinds():
+    """KartoSLAM.graph_edges stays in lockstep with the solver's constraint
+    list and tags every edge with a renderable kind."""
+    import dataclasses
+
+    from tpu_slam.config import default_config
+    from tpu_slam.data import simulator as sim
+    from tpu_slam.data.scan import make_scan
+    from tpu_slam.models.karto.pipeline import KartoSLAM
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        scan=dataclasses.replace(
+            cfg.scan, num_beams=90, angle_increment=2 * np.pi / 90,
+            range_max=6.0, range_threshold=5.0,
+        ),
+        correlative=dataclasses.replace(
+            cfg.correlative, correlation_search_space_resolution=0.02
+        ),
+    )
+    world = sim.office_world(seed=3, size=8.0)
+    traj = sim.circle_trajectory(30, radius=1.5)
+    seq = sim.simulate_sequence(world, traj, cfg.scan, seed=4)
+    scans = make_scan(seq.ranges, cfg.scan)
+    slam = KartoSLAM(cfg)
+    slam.run(scans, seq.gt_poses)
+    assert len(slam.graph_edges) == slam.solver.num_edges
+    kinds = {k for _, _, k in slam.graph_edges}
+    assert kinds <= {"sequential", "chain", "loop"}
+    assert "sequential" in kinds
 
 
 def test_config_presets_match_reference_yaml():

@@ -213,6 +213,14 @@ def main(argv=None) -> int:
 
         paths = save_map(args.save_map, np.asarray(ros_map), grid_cfg)
         print(f"map saved: {paths[0]} + {paths[1]}")
+        if args.model == "karto":
+            from tpu_slam.models.karto.occupancy import karto_graph_png
+
+            gpath = karto_graph_png(
+                slam, args.save_map + "_graph.png",
+                ros_map=ros_map, grid=grid_cfg,
+            )
+            print(f"pose graph saved: {gpath}")
     return 0
 
 

@@ -254,3 +254,21 @@ def karto_map(slam, resolution: float = 0.05) -> tuple[np.ndarray, GridConfig]:
         ),
         cfg,
     )
+
+
+def karto_graph_png(
+    slam, path: str, ros_map=None, grid: GridConfig = None,
+    resolution: float = 0.05,
+) -> str:
+    """Write the pose-graph visualization for a KartoSLAM instance: nodes +
+    sequential/chain/loop edges over the occupancy map (the rviz MarkerArray
+    debugging artifact, karto_slam.cc:603-682). Reuses a precomputed
+    (ros_map, grid) pair when given; otherwise rasterizes one."""
+    from tpu_slam.utils.map_io import save_graph_png
+
+    if ros_map is None or grid is None:
+        ros_map, grid = karto_map(slam, resolution)
+    poses = np.asarray([r.corrected_pose for r in slam.scans]).reshape(-1, 3)
+    return save_graph_png(
+        path, np.asarray(ros_map), grid, poses, slam.graph_edges
+    )

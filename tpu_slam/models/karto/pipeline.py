@@ -254,6 +254,11 @@ class KartoSLAM:
         self._pending = None  # in-flight async back-end solve
         self.scans: list[ScanRecord] = []
         self.adjacency: dict[int, set[int]] = {}
+        # (i, j, kind) per solver constraint — kind ∈ {"sequential",
+        # "chain", "loop"} — feeding the pose-graph visualization
+        # (utils.map_io.save_graph_png; the MarkerArray debugging role of
+        # karto_slam.cc:603-682)
+        self.graph_edges: list[tuple[int, int, str]] = []
         self._last_processed: int | None = None  # across all sensors
         # one device-resident point store per beam count (mixed-N chain
         # groups fall back to the data-carrying path)
@@ -513,18 +518,22 @@ class KartoSLAM:
         )[0]
 
     # --- graph helpers ------------------------------------------------------
-    def _link(self, i: int, j: int, mean_pose_j: np.ndarray, cov: np.ndarray):
+    def _link(self, i: int, j: int, mean_pose_j: np.ndarray, cov: np.ndarray,
+              kind: str = "chain"):
         """LinkScans (Mapper.cpp:1104-1122): edge i→j with measurement =
         pose_j expressed in scan i's sensor frame (LinkInfo pose difference),
-        skipped if the edge already exists."""
+        skipped if the edge already exists. ``kind`` tags the edge for the
+        graph visualization (sequential / chain / loop)."""
         if j in self.adjacency.get(i, set()):
             return
         self.adjacency.setdefault(i, set()).add(j)
         self.adjacency.setdefault(j, set()).add(i)
+        self.graph_edges.append((i, j, kind))
         mean = _np_rel(self.scans[i].corrected_pose, mean_pose_j)
         self.solver.add_constraint(i, j, mean, covariance=np.asarray(cov, np.float64))
 
-    def _link_chain(self, chain: list[int], j: int, mean_pose_j, cov):
+    def _link_chain(self, chain: list[int], j: int, mean_pose_j, cov,
+                    kind: str = "chain"):
         """LinkChainToScan (Mapper.cpp:1152-1167): link the chain scan
         closest to scan j's reference pose."""
         k = self.cfg.karto
@@ -538,7 +547,7 @@ class KartoSLAM:
             if d < best_d:
                 best, best_d = i, d
         if best is not None and best_d < k.link_scan_maximum_distance**2 + 1e-6:
-            self._link(best, j, mean_pose_j, cov)
+            self._link(best, j, mean_pose_j, cov, kind=kind)
 
     def _all_ref_positions(self) -> np.ndarray:
         """Reference positions of every scan, vectorized (GetReferencePose,
@@ -636,7 +645,8 @@ class KartoSLAM:
         means, covs = [], []
         if st.last_scan_id is not None:
             # 1) previous scan of the same sensor
-            self._link(st.last_scan_id, sid, rec.corrected_pose, cov)
+            self._link(st.last_scan_id, sid, rec.corrected_pose, cov,
+                       kind="sequential")
             # 2) running chain (one edge to the closest running scan)
             means.append(rec.corrected_pose.copy())
             covs.append(np.asarray(cov, np.float64))
@@ -655,7 +665,8 @@ class KartoSLAM:
                 )
                 mean = np.asarray(res.pose, np.float64)
                 c = np.asarray(res.covariance, np.float64)
-                self._link(ost.scan_ids[0], sid, mean, c)
+                self._link(ost.scan_ids[0], sid, mean, c,
+                           kind="sequential")
                 if (
                     float(res.response)
                     > self.cfg.karto.link_match_minimum_response_fine
@@ -977,6 +988,7 @@ class KartoSLAM:
         self._link_chain(
             chain, sid, rec.corrected_pose,
             np.asarray(fine.covariance, np.float64),
+            kind="loop",
         )
         self._correct_poses()
         self.loop_closures += 1

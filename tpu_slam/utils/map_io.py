@@ -122,3 +122,108 @@ def _read_pgm(path: str) -> np.ndarray:
     w, h = int(tokens[1]), int(tokens[2])
     i += 1  # single whitespace after maxval
     return np.frombuffer(data[i : i + w * h], np.uint8).reshape(h, w)
+
+
+# --- pose-graph visualization ------------------------------------------------
+# The reference publishes the pose graph as rviz MarkerArrays for debugging
+# bad closures (karto_slam.cc:603-682 publishGraphVisualization;
+# g2o_solver.cc:150-260 separates loop edges). Without rviz, the equivalent
+# artifact is a color overlay of nodes + typed edges on the occupancy map,
+# written as a dependency-free PNG.
+
+GRAPH_COLORS = {
+    "sequential": (70, 130, 255),  # consecutive-scan odometry edges
+    "chain": (40, 170, 90),  # running/near-chain link edges
+    "loop": (230, 40, 40),  # loop-closure edges (drawn last, on top)
+    "node": (25, 60, 160),
+}
+
+
+def save_png(path: str, rgb: np.ndarray) -> str:
+    """Write (H, W, 3) uint8 (row 0 = TOP of the image) as a PNG.
+
+    Minimal encoder (IHDR + zlib IDAT + IEND) — no imaging dependency."""
+    import struct
+    import zlib
+
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w, _ = rgb.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = (
+        np.concatenate(
+            [np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)], axis=1
+        )  # filter byte 0 per scanline
+        .tobytes()
+    )
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+    return path
+
+
+def _world_to_cell(grid: GridConfig, xy: np.ndarray) -> np.ndarray:
+    """(…, 2) world coords → (…, 2) float (col, row) grid coords."""
+    return (
+        np.asarray(xy, np.float64)
+        - np.array([grid.origin_x, grid.origin_y])
+    ) / grid.resolution
+
+
+def render_graph_overlay(
+    ros_map: np.ndarray,
+    grid: GridConfig,
+    poses: np.ndarray,
+    edges,
+) -> np.ndarray:
+    """RGB (H, W, 3) render of the pose graph over the occupancy map.
+
+    ``ros_map``: (H, W) int8 nav_msgs map, row 0 = south edge.
+    ``poses``: (N, 3) world scan poses (the graph nodes).
+    ``edges``: iterable of (i, j, kind) with kind ∈ GRAPH_COLORS.
+    Output keeps row 0 at the south edge (flip before writing image files).
+    """
+    rgb = np.repeat(to_trinary_pgm(ros_map)[:, :, None], 3, axis=2)
+    h, w = rgb.shape[:2]
+    pts = _world_to_cell(grid, np.asarray(poses)[:, :2])
+
+    def draw(cells: np.ndarray, color) -> None:
+        c = np.round(cells).astype(np.int64)
+        keep = (c[:, 0] >= 0) & (c[:, 0] < w) & (c[:, 1] >= 0) & (c[:, 1] < h)
+        c = c[keep]
+        rgb[c[:, 1], c[:, 0]] = color
+
+    # edges by kind, loop closures last so they stay visible on top
+    order = {"sequential": 0, "chain": 1, "loop": 2}
+    for i, j, kind in sorted(edges, key=lambda e: order.get(e[2], 1)):
+        a, b = pts[i], pts[j]
+        n = int(np.ceil(np.abs(b - a).max() * 2)) + 2
+        t = np.linspace(0.0, 1.0, n)[:, None]
+        draw(a + t * (b - a), GRAPH_COLORS.get(kind, GRAPH_COLORS["chain"]))
+    # nodes as 3×3 squares
+    off = np.array(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], np.float64
+    )
+    draw((pts[:, None, :] + off[None, :, :]).reshape(-1, 2),
+         GRAPH_COLORS["node"])
+    return rgb
+
+
+def save_graph_png(
+    path: str,
+    ros_map: np.ndarray,
+    grid: GridConfig,
+    poses: np.ndarray,
+    edges,
+) -> str:
+    """Render the pose graph over the map and write it as `path` (PNG).
+
+    See render_graph_overlay for argument conventions."""
+    return save_png(path, render_graph_overlay(ros_map, grid, poses, edges)[::-1])
