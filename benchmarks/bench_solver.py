@@ -29,6 +29,11 @@ def main():
         help="Schur-complement submap factorization (solver/schur.py)",
     )
     ap.add_argument("--submaps", type=int, default=8)
+    ap.add_argument(
+        "--reference", action="store_true",
+        help="also time the compiled reference SysSPA2d on the same graph "
+        "(dense + true sparse-Cholesky doSPA paths; parity/ harness)",
+    )
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -95,6 +100,42 @@ def main():
         file=sys.stderr,
     )
     print(f"pose_graph_solve_ms={dt * 1e3:.2f}")
+
+    if args.reference:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tests"))
+        from golden.ref_spa2d import RefSPA2d, load as ref_load
+
+        if ref_load() is None:
+            print("reference harness not buildable; skipping", file=sys.stderr)
+            return
+
+        def build(r):
+            for i in range(M):
+                r.add_node(init[i], i)
+            for i in range(M):
+                j = (i + 1) % M
+                r.add_constraint(i, j, rel(gt[i], gt[j]), info)
+            for i in range(0, M, 16):
+                j = (i + M // 2) % M
+                r.add_constraint(i, j, rel(gt[i], gt[j]), info)
+
+        # the SpaSolver's actual path: SPARSE Cholesky (spa_solver.cc:51 →
+        # spa2d.cpp:505 csp.doChol → cs_cholsol). Fresh instance per run —
+        # doSPA mutates node poses.
+        ts = []
+        for _ in range(max(args.iters, 3)):
+            with RefSPA2d() as r:
+                build(r)
+                t0 = time.perf_counter()
+                r.do_spa_sparse(40)
+                ts.append(time.perf_counter() - t0)
+        print(f"reference_sparse_solve_ms={min(ts) * 1e3:.2f}")
+        with RefSPA2d() as r:  # dense golden path, once (slow at 1k nodes)
+            build(r)
+            t0 = time.perf_counter()
+            r.do_spa(40)
+            print(f"reference_dense_solve_ms={(time.perf_counter() - t0) * 1e3:.2f}")
 
 
 if __name__ == "__main__":

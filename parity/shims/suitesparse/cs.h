@@ -1,6 +1,7 @@
-/* Shim: the public CSparse compressed-column struct declaration, so the
- * reference's csparse.h compiles. No CSparse functions are linked — the
- * golden harness exercises only the dense-Cholesky path of doSPA. */
+/* Shim: the public CSparse compressed-column struct + the entry points
+ * csparse.cpp links, implemented from scratch in ../cs_impl.cpp (sparse
+ * up-looking Cholesky + minimum-degree ordering) so the reference's
+ * SPARSE doSPA path runs unmodified. */
 #ifndef _CS_H
 #define _CS_H
 typedef struct cs_sparse
@@ -13,4 +14,11 @@ typedef struct cs_sparse
     double *x;
     int nz;
 } cs;
+
+cs *cs_spalloc(int m, int n, int nzmax, int values, int triplet);
+cs *cs_spfree(cs *A);
+int cs_cholsol(int order, const cs *A, double *b);
+cs *cs_transpose(const cs *A, int values);
+int cs_fkeep(cs *A, int (*fkeep)(int, int, double, void *), void *other);
+cs *cs_add(const cs *A, const cs *B, double alpha, double beta);
 #endif

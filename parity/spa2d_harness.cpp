@@ -6,35 +6,16 @@
 // SysSPA2d::{addNode,addConstraint,doSPA} surface (reference
 // spa2d.cpp:207-252,425-609) over a flat C API for ctypes.
 //
-// Only the DENSE Cholesky path (useCSparse = SBA_DENSE_CHOLESKY) is
-// exercised: it solves the same normal equations as the CSparse path the
-// SpaSolver uses by default (spa_solver.cc:51 doSPA(40)), with identical LM
-// iterates up to linear-solver roundoff. The CSparse2d members referenced by
-// the (never-executed) sparse path are stubbed below to satisfy the linker.
+// Both solver paths of doSPA are exercised:
+//   * DENSE (useCSparse = SBA_DENSE_CHOLESKY) — the round-2 golden path;
+//   * SPARSE (SBA_SPARSE_CHOLESKY) — the path the SpaSolver actually runs
+//     (spa_solver.cc:51 doSPA(40) default; spa2d.cpp:505 csp.doChol), via
+//     the reference's own csparse.cpp compiled unmodified against the
+//     CSparse-compatible cs_cholsol in cs_impl.cpp.
 #include <sparse_bundle_adjustment/spa2d.h>
 
 #include <cstdlib>
 #include <cstring>
-
-namespace sba
-{
-// --- linker stubs for the un-exercised sparse path (csparse.cpp) ----------
-CSparse2d::CSparse2d()
-{
-    A = AF = nullptr;
-    asize = csize = nnz = 0;
-    useCholmod = false;
-}
-CSparse2d::~CSparse2d() {}
-void CSparse2d::setupBlockStructure(int, bool) { abort(); }
-void CSparse2d::addOffdiagBlock(Matrix<double, 3, 3> &, int, int) { abort(); }
-void CSparse2d::incDiagBlocks(double) { abort(); }
-void CSparse2d::setupCSstructure(double, bool) { abort(); }
-void CSparse2d::uncompress(MatrixXd &) { abort(); }
-bool CSparse2d::doChol() { abort(); }
-int CSparse2d::doPCG(int) { abort(); }
-int CSparse2d::doBPCG(int, double, int) { abort(); }
-} // namespace sba
 
 extern "C"
 {
@@ -79,6 +60,14 @@ int spa_do_spa(void *s, int niter, double s_lambda)
 {
     return static_cast<sba::SysSPA2d *>(s)->doSPA(
         niter, s_lambda, SBA_DENSE_CHOLESKY);
+}
+
+// Runs doSPA with the reference's default SPARSE Cholesky solver
+// (setupSparseSys + CSparse2d::doChol → cs_cholsol each LM iteration).
+int spa_do_spa_sparse(void *s, int niter, double s_lambda)
+{
+    return static_cast<sba::SysSPA2d *>(s)->doSPA(
+        niter, s_lambda, SBA_SPARSE_CHOLESKY);
 }
 
 double spa_calc_cost(void *s)

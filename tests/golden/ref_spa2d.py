@@ -50,6 +50,8 @@ def load():
     lib.spa_add_constraint.argtypes = [vp, i, i, dp, dp]
     lib.spa_do_spa.restype = i
     lib.spa_do_spa.argtypes = [vp, i, d]
+    lib.spa_do_spa_sparse.restype = i
+    lib.spa_do_spa_sparse.argtypes = [vp, i, d]
     lib.spa_calc_cost.restype = d
     lib.spa_calc_cost.argtypes = [vp]
     lib.spa_num_nodes.restype = i
@@ -97,6 +99,12 @@ class RefSPA2d:
 
     def do_spa(self, niter: int = 40, s_lambda: float = 1e-4) -> int:
         return self.lib.spa_do_spa(self._s, int(niter), float(s_lambda))
+
+    def do_spa_sparse(self, niter: int = 40, s_lambda: float = 1e-4) -> int:
+        """doSPA over the reference's DEFAULT sparse-Cholesky path
+        (spa2d.cpp:505 csp.doChol -> cs_cholsol; SpaSolver runs this one,
+        spa_solver.cc:51)."""
+        return self.lib.spa_do_spa_sparse(self._s, int(niter), float(s_lambda))
 
     def cost(self) -> float:
         return float(self.lib.spa_calc_cost(self._s))

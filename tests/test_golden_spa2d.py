@@ -141,3 +141,30 @@ def test_golden_spa2d_lm_schedule():
     d = mine - ref_poses
     d[:, 2] = np.arctan2(np.sin(d[:, 2]), np.cos(d[:, 2]))
     assert np.abs(d).max() < 5e-3, np.abs(d).max()
+
+
+def test_golden_spa2d_sparse_matches_dense():
+    """The reference's DEFAULT sparse-Cholesky doSPA path (spa2d.cpp:505
+    csp.doChol → cs_cholsol, the branch SpaSolver actually runs) must agree
+    with the dense-Cholesky golden path: same normal equations, same LM
+    schedule, different linear solver. This validates the harness's
+    from-scratch CSparse implementation (parity/cs_impl.cpp) and gives the
+    solver benchmarks an honest CPU-side denominator."""
+    gt, init, edges = circle_graph(n=120, seed=3)
+
+    def build(r):
+        for i in range(len(init)):
+            r.add_node(init[i], i)
+        for i, j, m, P in edges:
+            assert r.add_constraint(i, j, m, P)
+
+    with ref_spa2d.RefSPA2d() as dense, ref_spa2d.RefSPA2d() as sparse:
+        build(dense)
+        build(sparse)
+        dense.do_spa(40)
+        sparse.do_spa_sparse(40)
+        cd, cs_ = dense.cost(), sparse.cost()
+        _, pd = dense.poses()
+        _, ps = sparse.poses()
+    assert abs(cd - cs_) <= 1e-6 * max(cd, 1e-12)
+    np.testing.assert_allclose(ps, pd, atol=1e-6)
