@@ -59,6 +59,7 @@ def test_rosbag_rejects_non_bag(tmp_path):
         list(rosbag.read_bag(str(p)))
 
 
+@pytest.mark.slow
 def test_karto_checkpoint_roundtrip(tmp_path):
     import sys
 

@@ -212,6 +212,7 @@ def test_response_expansion_recovers_large_rotation(match_setup):
     assert float(res.response) > 0.0
 
 
+@pytest.mark.slow
 def test_match_chains_equals_sequential(match_setup):
     """The batched multi-chain program (one dispatch for C chains) must
     reproduce the sequential per-chain MatchScan results exactly, including

@@ -97,6 +97,7 @@ def make_ref(cfg):
     return ref
 
 
+@pytest.mark.slow
 def test_golden_find_valid_points(mission):
     """find_valid_points == the reference's private FindValidPoints walk,
     beam for beam (finite beams; the reference also 'keeps' inf points that
@@ -167,6 +168,7 @@ def match_inputs(mission):
     return cfg, slam, rec_q, base_ids, base_poses, base_ranges, ranges[q_t], center
 
 
+@pytest.mark.slow
 def test_golden_correlation_grid(match_inputs):
     """build_correlation_grid + find_valid_points vs the reference's
     post-AddScans CorrelationGrid, cell for cell (f32-boundary flips
@@ -401,6 +403,7 @@ def test_golden_front_end_trajectory(mission):
     assert np.abs(d[:, 2]).max() < 0.02, np.abs(d[:, 2]).max()
 
 
+@pytest.mark.slow
 def test_golden_full_pipeline_loop_closure(mission):
     """Reference Mapper + MY PoseGraphSolver (hooked through the ScanSolver
     callback) vs KartoSLAM end-to-end WITH loop closure: closures fire on

@@ -306,6 +306,7 @@ def test_sampling_covariance_off_map_is_finite():
     assert np.all(np.diag(cov) >= 0)
 
 
+@pytest.mark.slow
 def test_hector_mesh_pipeline_matches_single_device(hector_seq):
     """HectorSLAM(cfg, mesh=...): row-stripe-sharded map pyramid (halo GN
     match + no-communication sharded rasterizer) must reproduce the

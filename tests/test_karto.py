@@ -63,6 +63,7 @@ def loop_setup():
     return cfg, scans, seq, odom
 
 
+@pytest.mark.slow
 def test_karto_front_end_tracks(loop_setup):
     """Scan matching alone (loop closing off) keeps ATE below raw odometry."""
     cfg, scans, seq, odom = loop_setup
@@ -82,6 +83,7 @@ def test_karto_front_end_tracks(loop_setup):
     assert ate < 0.15, ate
 
 
+@pytest.mark.slow
 def test_karto_loop_closure_improves(loop_setup):
     cfg, scans, seq, odom = loop_setup
     slam = KartoSLAM(cfg)
@@ -94,6 +96,7 @@ def test_karto_loop_closure_improves(loop_setup):
     assert ate < 0.06, ate
 
 
+@pytest.mark.slow
 def test_karto_multi_sensor_loop_closure(loop_setup):
     """TryCloseLoop runs against EVERY registered sensor's scan list
     (Mapper.cpp:2064-2069): with two identical lasers fed alternately
@@ -126,6 +129,7 @@ def test_karto_multi_sensor_loop_closure(loop_setup):
     assert len(slam.sensors["laser1"].scan_ids) > 20
 
 
+@pytest.mark.slow
 def test_karto_async_loop_closure_matches_sync(loop_setup):
     """Pipeline-parallel back-end: corrections dispatched asynchronously and
     propagated chain-consistently must land within a few cm of the inline
@@ -189,6 +193,7 @@ def test_laser_rig_upside_down_detection():
     assert LaserRig().is_identity and not rig.is_identity
 
 
+@pytest.mark.slow
 def test_karto_multi_sensor_shared_graph(loop_setup):
     """Two registered lasers (MapperSensorManager, Mapper.h:1288-1404):
     per-sensor running buffers / previous-scan links / HasMovedEnough, one
@@ -254,6 +259,7 @@ def test_karto_multi_sensor_shared_graph(loop_setup):
     assert ate_rmse(est, gt[order_t]) < 0.15
 
 
+@pytest.mark.slow
 def test_karto_laser_rig_offset_equivariance(loop_setup):
     """Feeding BASE odometry with a registered laser offset (and an
     upside-down laser whose readings arrive reversed) must reproduce the
@@ -314,6 +320,7 @@ def test_karto_laser_rig_offset_equivariance(loop_setup):
     assert np.quantile(d, 0.95) <= 2 * g_plain.resolution + 1e-9
 
 
+@pytest.mark.slow
 def test_device_scan_store_path_matches_data_path(loop_setup):
     """The index-addressed device-store match (match_chains_store) must be
     bit-identical to the data-carrying match on the same chains."""
@@ -366,6 +373,7 @@ def test_device_scan_store_growth():
         np.testing.assert_array_equal(np.asarray(st.valid[r]), valid)
 
 
+@pytest.mark.slow
 def test_karto_mesh_pipeline_matches_single_device(loop_setup):
     """KartoSLAM(cfg, mesh=...) — edge-sharded psum LM back-end + ring-pass
     loop-candidate search over the 8-device mesh — must reproduce the

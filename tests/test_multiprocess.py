@@ -27,6 +27,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.timeout(300)
+@pytest.mark.slow
 def test_two_process_distributed_lm():
     port = _free_port()
     env = {

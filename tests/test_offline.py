@@ -6,6 +6,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_slam import geometry as geo
 from tpu_slam.config import default_config
@@ -122,6 +123,7 @@ def test_offline_slam_corridor_loop():
     assert ate_opt <= ate_chain + 1e-6
 
 
+@pytest.mark.slow
 def test_offline_slam_sharded_matches_unsharded():
     """offline_slam(mesh=8-device CPU mesh) must reproduce the unsharded
     result: the batched matcher is embarrassingly parallel over pairs and

@@ -181,6 +181,7 @@ def test_distributed_lm_uses_one_psum_per_assembly():
     assert "all-to-all" not in hlo
 
 
+@pytest.mark.slow
 def test_training_step_runs_on_mesh():
     import __graft_entry__ as ge
 
