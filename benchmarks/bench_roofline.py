@@ -15,9 +15,10 @@ FLOP models (from the kernel sources; shapes are static):
   * hector_fused (ops/pallas/hector_fused.py:165-171): per GN iteration
     two (Np,Wy)@(Wy,Wx) one-hot row matmuls → 4·Np·Wy·Wx f32 per iter,
     summed over the pyramid's per-level iteration counts.
-  * correlative_response (ops/pallas/correlative_response.py:60-93): per
-    (angle, beam) one (n_yp,s_y)@(s_y,s_x) + one (n_yp,s_x)@(s_x,n_xp)
-    selection matmul → 2·n_yp·s_x·(s_y + n_xp) bf16.
+  * correlative_response (ops/pallas/correlative_response.py): per
+    (angle, beam group of B) one block-diag (B·n_yp,B·s_y)@(B·s_y,s_x)
+    + one (B·n_yp,s_x)@(s_x,B·n_xp) selection matmul — B² FLOP growth
+    traded for B× fewer serial matmul issues (the measured bound).
 
     python benchmarks/bench_roofline.py          # TPU (the only sane target)
 """
@@ -41,6 +42,34 @@ def timed_train(fn, args_list, fetch, iters):
         r = fn(*args_list[i % len(args_list)])
     _ = np.asarray(fetch(r))
     return (time.perf_counter() - t0) / iters
+
+
+K_INPROG = 8  # in-program repeats per dispatch
+
+
+def timed_inprog(fn_i, args, fetch, iters, floor=0.0):
+    """Device time per call with the repeat loop INSIDE one XLA program.
+
+    The axon tunnel's ability to pipeline queued dispatches fluctuates
+    between sessions (measured 86 vs 227 TF/s for the same matmul train
+    minutes apart) — per-dispatch relay cost then pollutes kernel timings.
+    `fn_i(i, *args)` must perturb one input with the iteration index so the
+    loop body isn't hoisted as loop-invariant; the wrapper runs K_INPROG
+    calls per dispatch and charges (wall − floor)/K to the kernel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def rep(*a):
+        def body(i, carry):
+            out = fn_i(i, *a)
+            return carry + fetch(out).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, K_INPROG, body, jnp.float32(0.0))
+
+    wall = timed_train(rep, [args], lambda r: r, iters)
+    return max(wall - floor, 0.0) / K_INPROG
 
 
 def main():
@@ -74,16 +103,20 @@ def main():
         k = 4096
         a = jnp.ones((k, k), dtype)
         b = jnp.ones((k, k), dtype)
-        f = jax.jit(lambda a, b: (a @ b).sum())
-        t = timed_train(f, [(a, b)], lambda r: r, args.iters) - floor
+        t = timed_inprog(
+            lambda i, a, b: ((a + i * jnp.asarray(1e-30, dtype)) @ b).sum(),
+            (a, b), lambda r: r, args.iters, floor,
+        )
         return 2 * k**3 / t / 1e12  # TFLOP/s
 
     tf_f32 = matmul_peak(jnp.float32)
     tf_bf16 = matmul_peak(jnp.bfloat16)
     big = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MB
-    fcopy = jax.jit(lambda x: x + 1.0)
-    t = timed_train(fcopy, [(big,)], lambda r: r[0, 0, 0], args.iters) - floor
-    gbs = 2 * big.size * 4 / t / 1e9  # read + write
+    t = timed_inprog(
+        lambda i, x: (x + (1.0 + 1e-30 * i)).sum(),
+        (big,), lambda r: r, args.iters, floor,
+    )
+    gbs = 2 * big.size * 4 / t / 1e9  # read + write (sum ~free vs copy)
     print(f"calibrated: dispatch_floor={floor * 1e3:.2f} ms  "
           f"matmul f32={tf_f32:.1f} TF/s bf16={tf_bf16:.1f} TF/s  "
           f"hbm={gbs:.0f} GB/s", file=sys.stderr)
@@ -119,8 +152,13 @@ def main():
         jnp.asarray(pts[:-1]), jnp.asarray(valid[:-1]),
         jnp.zeros((B, 3), jnp.float32),
     )
-    wall = timed_train(match, [margs], lambda r: r.pose, args.iters)
-    dev_ms = max(wall - floor, 1e-6) * 1e3
+    wall = timed_inprog(
+        lambda i, s_, sv, t_, tv, g: match(
+            s_, sv, t_, tv, g + i * jnp.float32(1e-30)
+        ),
+        margs, lambda r: r.pose[0, 0], args.iters, floor,
+    )
+    dev_ms = max(wall, 1e-6) * 1e3
     N = M = -(-cfg.scan.num_beams // 128) * 128  # lane padding
     flops = 22 * N * M * cfg.plicp.max_iterations * B  # f32, upper bound
     fbytes = B * (2 * N * 3 + 2 * M * 3) * 4  # coords+valid in, pose out ~0
@@ -146,8 +184,13 @@ def main():
     hvalid = s1.valid & jnp.all(jnp.isfinite(s1.points()), axis=-1)
     hargs = (slam.grids, jnp.asarray(seq.gt_poses[1], jnp.float32),
              hpts, hvalid)
-    wall = timed_train(slam._match_fn, [hargs], lambda r: r[0], args.iters)
-    dev_ms = max(wall - floor, 1e-6) * 1e3
+    wall = timed_inprog(
+        lambda i, g, p, pts_, v: slam._match_fn(
+            g, p + i * jnp.float32(1e-30), pts_, v
+        ),
+        hargs, lambda r: r[0][0], args.iters, floor,
+    )
+    dev_ms = max(wall, 1e-6) * 1e3
     Np = -(-cfg.scan.num_beams // 128) * 128
     gcfgs = build_pyramid_cfgs(cfg)
     flops = 0
@@ -190,19 +233,31 @@ def main():
             g, p, v, a, cand0, n_xy, n_xy, stride
         )
     )
-    wall = timed_train(f, [(grid, pts_cells, bvalid, angles)],
-                       lambda r: r[0, 0], args.iters)
-    dev_ms = max(wall - floor, 1e-6) * 1e3
+    wall = timed_inprog(
+        lambda i, g, p, v, a: f(g, p + i * jnp.float32(1e-30), v, a),
+        (grid, pts_cells, bvalid, angles),
+        lambda r: r[0, 0], args.iters, floor,
+    )
+    dev_ms = max(wall, 1e-6) * 1e3
     span = (n_xy - 1) * stride + 1
     s_y = _round_up(span + 32, 8)
     s_x = _round_up(span + 128, 128)
     n_yp = _round_up(n_xy, 8)
     n_xp = _round_up(n_xy, 128)
-    flops = A * npts * 2 * n_yp * s_x * (s_y + n_xp)  # bf16 selections
-    fbytes = A * n_grid * n_grid * 1  # int8 grid per angle program
+    # block-diag beam groups (B beams per matmul pair): per group
+    # (B·n_yp, B·s_y)@(B·s_y, s_x) + (B·n_yp, s_x)@(s_x, B·n_xp)
+    from tpu_slam.ops.pallas.correlative_response import BEAMS_PER_GROUP
+
+    Bg = BEAMS_PER_GROUP if (n_yp <= 32 and n_xp <= 128) else 1
+    npts_p = -(-npts // Bg) * Bg
+    flops = (
+        A * (npts_p // Bg) * 2 * Bg * n_yp * s_x * (Bg * s_y + Bg * n_xp)
+    )
+    fbytes = n_grid * n_grid * 1  # int8 grid crosses HBM once per call
     report(f"correlative_response ({n_xy}x{n_xy}x{A})", dev_ms, flops,
            fbytes, tf_bf16,
-           "bf16 selection matmuls; grid re-streamed per angle")
+           f"bf16 selection matmuls, {Bg} beams block-diag per issue; "
+           "grid VMEM-resident across all angles")
 
     print("| kernel | device ms | GFLOP | MB | %matmul-roof | %HBM-roof "
           "| bound |")

@@ -7,20 +7,31 @@ over the whole (x, y) candidate lattice as one batched window load per beam
 gather/dispatch overhead of the vmapped dynamic slices, not bytes.
 
 Here the correlation grid lives in VMEM as int8 (values 0..100, so the
-2445² front-end grid is ~7 MB) and ONE kernel program per search angle runs
-a `fori_loop` over beams. Each step loads the beam's window at the
+2445² front-end grid is ~7 MB) and ONE kernel program covers ALL search
+angles (`fori_loop` over angles, inner `fori_loop` over beam groups) — the
+grid crosses HBM→VMEM once per match call, not once per angle.
+
+Each beam's candidate lattice is extracted from the window at the
 tile-ALIGNED start below its rotated cell offset (Mosaic requires provably
-(32, 128)-aligned dynamic starts for int8), then extracts the strided
-candidate lattice with two one-hot selection matmuls on the MXU:
+(32, 128)-aligned dynamic starts for int8) with two one-hot selection
+matmuls on the MXU:
 
     lattice[r, c] = (Q_y @ window @ Q_x)[r, c]
                   = window[rem_y + r·stride, rem_x + c·stride]
 
 Q_y/Q_x are 0/1 offset-diagonal matrices built from 2-D iotas; selections
 of int8 grid values (≤ 100) are exact in bfloat16 with f32 accumulation,
-so the kernel is int32-bit-identical to the XLA path. (A first attempt
-used `pltpu.roll` for the intra-tile shift; its dynamic-shift lowering is
-wrong for blocks spanning more than two tiles in this toolchain.)
+so the kernel is int32-bit-identical to the XLA path.
+
+At front-end lattice sizes the kernel is ISSUE-bound, not FLOP-bound (the
+round-3 ablation: hoisting any one of the selector builds or the window
+load moves nothing; an empty loop body costs 0.1 ms vs 2 ms full), so
+BEAMS_PER_GROUP beams are stacked BLOCK-DIAGONALLY into one matmul pair
+per group — 4× the (cheap, ~7% of roofline) MXU FLOPs for ¼ the serial
+matmul issues, measured 1.55 → 0.77 ms on the 2445²/384-beam/21-angle
+benchmark shape. Large (loop-matcher) lattices skip the stacking: there
+the matmuls are big enough to be FLOP-bound and block-diag padding would
+waste real compute.
 
 Window start cells arrive via scalar prefetch (SMEM), clamped on the host
 side with exactly the dynamic_slice clamp semantics of the XLA path.
@@ -37,53 +48,88 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+BEAMS_PER_GROUP = 4  # v5e sweet spot (0.93/0.77/1.34 ms at B=2/4/8)
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 def _make_kernel(
-    n_beams: int, n_x: int, n_y: int, stride: int,
-    s_y: int, s_x: int, n_yp: int, n_xp: int,
+    n_beams: int, n_angles: int, n_x: int, n_y: int, stride: int,
+    s_y: int, s_x: int, n_yp: int, n_xp: int, B: int,
 ):
-    def kernel(ys_ref, xs_ref, vld_ref, grid_ref, out_ref, acc_ref):
-        a = pl.program_id(0)
+    """B beams per block-diagonal matmul pair; B=1 is the plain kernel."""
+    n_groups = n_beams // B
 
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    def kernel(ys_ref, xs_ref, vld_ref, grid_ref, out_ref, acc_ref, win_ref):
+        # block-diagonal iotas (2-D — 1-D doesn't lower), hoisted across
+        # every (angle, group) iteration. Row r belongs to beam rb = r//n_yp
+        # of the group; col c of the output to beam cb = c//n_xp.
+        r4 = jax.lax.broadcasted_iota(jnp.int32, (B * n_yp, B * s_y), 0)
+        k4 = jax.lax.broadcasted_iota(jnp.int32, (B * n_yp, B * s_y), 1)
+        kq = jax.lax.broadcasted_iota(jnp.int32, (s_x, B * n_xp), 0)
+        cq = jax.lax.broadcasted_iota(jnp.int32, (s_x, B * n_xp), 1)
+        rb, rr = r4 // n_yp, r4 % n_yp
+        kb, kk = k4 // s_y, k4 % s_y
+        cb, cc = cq // n_xp, cq % n_xp
 
-        # iotas for the one-hot selectors (2-D iota — 1-D doesn't lower)
-        ry = jax.lax.broadcasted_iota(jnp.int32, (n_yp, s_y), 0)
-        ky = jax.lax.broadcasted_iota(jnp.int32, (n_yp, s_y), 1)
-        kx = jax.lax.broadcasted_iota(jnp.int32, (s_x, n_xp), 0)
-        cx = jax.lax.broadcasted_iota(jnp.int32, (s_x, n_xp), 1)
+        def angle_body(a, _):
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        def body(i, _):
-            k = a * n_beams + i
-            y0 = ys_ref[k]
-            x0 = xs_ref[k]
-            v = vld_ref[i]
-            y0a = (y0 // 32) * 32
-            x0a = (x0 // 128) * 128
-            wb = grid_ref[
-                pl.ds(y0a, s_y), pl.ds(x0a, s_x)
-            ].astype(jnp.bfloat16)
-            # row selector: lattice row r reads window row rem_y + r·stride
-            qy = (
-                (ky == (y0 - y0a) + ry * stride) & (ry < n_y)
-            ).astype(jnp.bfloat16)
-            qx = (
-                (kx == (x0 - x0a) + cx * stride) & (cx < n_x)
-            ).astype(jnp.bfloat16)
-            sel = jnp.dot(qy, wb, preferred_element_type=jnp.float32)
-            w = jnp.dot(
-                sel.astype(jnp.bfloat16), qx,
-                preferred_element_type=jnp.float32,
-            )
-            acc_ref[...] += w * v
+            def body(g, _):
+                i0 = g * B
+                remy_rows = jnp.zeros((B * n_yp, 1), jnp.int32)
+                remx_cols = jnp.zeros((1, B * n_xp), jnp.int32)
+                vmask = jnp.zeros((1, B * n_xp), jnp.float32)
+                for b in range(B):
+                    k = a * n_beams + i0 + b
+                    y0 = ys_ref[k]
+                    x0 = xs_ref[k]
+                    v = vld_ref[i0 + b]
+                    y0a = (y0 // 32) * 32
+                    x0a = (x0 // 128) * 128
+                    win_ref[pl.ds(b * s_y, s_y), :] = grid_ref[
+                        pl.ds(y0a, s_y), pl.ds(x0a, s_x)
+                    ]
+                    remy_rows = jnp.where(
+                        rb[:, :1] == b, y0 - y0a, remy_rows
+                    )
+                    remx_cols = jnp.where(
+                        cb[:1, :] == b, x0 - x0a, remx_cols
+                    )
+                    vmask = jnp.where(cb[:1, :] == b, v, vmask)
+                # row selector: output row (b, r) reads window-b row
+                # rem_y_b + r·stride; col selector likewise per beam block
+                qy = (
+                    (kb == rb) & (kk == remy_rows + rr * stride)
+                    & (rr < n_y)
+                ).astype(jnp.bfloat16)
+                qx = (
+                    (kq == remx_cols + cc * stride) & (cc < n_x)
+                ).astype(jnp.bfloat16)
+                wb = win_ref[...].astype(jnp.bfloat16)  # (B·s_y, s_x)
+                sel = jnp.dot(qy, wb, preferred_element_type=jnp.float32)
+                w = jnp.dot(
+                    sel.astype(jnp.bfloat16), qx,
+                    preferred_element_type=jnp.float32,
+                )  # (B·n_yp, B·n_xp); beam b's lattice is diag block b
+                w = w * vmask
+                tot = jnp.zeros((n_yp, n_xp), jnp.float32)
+                for b in range(B):
+                    tot = tot + w[
+                        b * n_yp : (b + 1) * n_yp, b * n_xp : (b + 1) * n_xp
+                    ]
+                # f32 adds of integer-valued terms ≤ 100·n_beams ≪ 2^24:
+                # exact in any summation order → still int32-bit-identical
+                acc_ref[...] += tot
+                return 0
+
+            jax.lax.fori_loop(0, n_groups, body, 0)
+            out_ref[a] = acc_ref[...].astype(jnp.int32)
             return 0
 
-        jax.lax.fori_loop(0, n_beams, body, 0)
-        out_ref[0] = acc_ref[...].astype(jnp.int32)
+        jax.lax.fori_loop(0, n_angles, angle_body, 0)
 
     return kernel
 
@@ -105,7 +151,6 @@ def responses_sliced_pallas(
 ) -> jax.Array:
     """Drop-in replacement for `_responses_sliced`: (A, nY*nX) int32."""
     H, W = grid.shape
-    N = pts_cells.shape[0]
     A = angles.shape[0]
     span_x = (n_x - 1) * stride + 1
     span_y = (n_y - 1) * stride + 1
@@ -114,6 +159,20 @@ def responses_sliced_pallas(
     s_x = _round_up(span_x + 128, 128)
     n_yp = _round_up(n_y, 8)
     n_xp = _round_up(n_x, 128)
+
+    # block-diag beam stacking only where the matmuls are issue-bound
+    # (front-end shapes); at loop-matcher lattices the B² FLOP growth and
+    # VMEM footprint outweigh the issue savings
+    B = BEAMS_PER_GROUP if (n_yp <= 32 and n_xp <= 128) else 1
+    pad = (-pts_cells.shape[0]) % B
+    if pad:
+        pts_cells = jnp.concatenate(
+            [pts_cells, jnp.zeros((pad, 2), pts_cells.dtype)]
+        )
+        beam_valid = jnp.concatenate(
+            [beam_valid, jnp.zeros((pad,), beam_valid.dtype)]
+        )
+    N = pts_cells.shape[0]
 
     # padded int8 grid: rows/cols [0, H)×[0, W) hold true data; aligned-down
     # loads plus the remainder never reach past the clamped start + span, and
@@ -145,17 +204,20 @@ def responses_sliced_pallas(
     vld = beam_valid.astype(jnp.float32)
 
     out = pl.pallas_call(
-        _make_kernel(N, n_x, n_y, stride, s_y, s_x, n_yp, n_xp),
+        _make_kernel(N, A, n_x, n_y, stride, s_y, s_x, n_yp, n_xp, B),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(A,),
+            grid=(1,),
             in_specs=[
                 pl.BlockSpec((gy, gx), lambda a, *refs: (0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, n_yp, n_xp), lambda a, *refs: (a, 0, 0)
+                (A, n_yp, n_xp), lambda a, *refs: (0, 0, 0)
             ),
-            scratch_shapes=[pltpu.VMEM((n_yp, n_xp), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((n_yp, n_xp), jnp.float32),
+                pltpu.VMEM((B * s_y, s_x), jnp.int8),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((A, n_yp, n_xp), jnp.int32),
         interpret=interpret,
