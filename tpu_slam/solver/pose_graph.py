@@ -35,6 +35,12 @@ import numpy as np
 
 from tpu_slam.config import SolverConfig
 
+# CG steps fused per while_loop iteration (masked past tolerance): each
+# device loop iteration costs ~20-30 µs on v5e through the axon path —
+# at 100 CG iterations per LM step that overhead, not the matvec math,
+# dominated the 1024-node solve (measured round 3)
+CG_UNROLL = 4
+
 
 def _rot(th):
     c, s = jnp.cos(th), jnp.sin(th)
@@ -222,18 +228,31 @@ def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol,
 
     stop2 = jnp.asarray(max(float(tol), 0.0), dt) * jnp.sum(bb * bb)
 
-    def body(state):
+    def step(state):
+        # masked CG step: once the residual is under tolerance the state
+        # freezes, so CG_UNROLL steps per while iteration keep the exact
+        # early-out semantics while paying the (measured ~20-30 µs on v5e
+        # via axon) per-loop-iteration overhead UNROLL× less often
         x, r, z, p, rz, it = state
+        live = jnp.sum(r * r) > stop2
+        lv = live.astype(dt)
         Ap = mv(p)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = precond(r)
+        x = x + lv * alpha * p
+        r = jnp.where(live, r - alpha * Ap, r)
+        z_new = precond(r)
+        z = jnp.where(live, z_new, z)
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
-        p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1)
+        p = jnp.where(live, z + beta * p, p)
+        rz = jnp.where(live, rz_new, rz)
+        return (x, r, z, p, rz, it + live.astype(jnp.int32))
+
+    def body(state):
+        for _ in range(CG_UNROLL):
+            state = step(state)
+        return state
 
     def cond(state):
         _x, r, _z, _p, _rz, it = state
@@ -291,11 +310,18 @@ def _lm_loop_program(
         c = graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
         return jax.lax.psum(c, psum_axis) if psum_axis is not None else c
 
+    # sqMinDelta (spa2d.cpp:458). The reference's 1e-16 assumes f64; in
+    # f32 ‖δ‖² floors around 1e-9 (eps·pose-scale over 3M coords) and the
+    # loop would burn its full iteration budget after convergence. 1e-8
+    # (‖δ‖ ≈ 1e-4 aggregated over ALL nodes — sub-0.1 mm) is the f32-
+    # honest equivalent; f64 keeps the reference threshold.
+    sq_min_delta = 1e-16 if p0.dtype == jnp.float64 else 1e-8
+
     def body(state):
         p, lam, laminc, cost, it, good, _done = state
         delta = solve(p, lam)
         sq = jnp.sum(delta * delta)
-        converged = sq < 1e-16  # sqMinDelta (spa2d.cpp:458)
+        converged = sq < sq_min_delta
         cand = p + delta
         th = jnp.arctan2(jnp.sin(cand[:, 2]), jnp.cos(cand[:, 2]))
         cand = jnp.concatenate([cand[:, :2], th[:, None]], axis=-1)
