@@ -120,11 +120,13 @@ def occupancy_from_scans(
         return np.full((grid_cfg.size_y, grid_cfg.size_x), -1, np.int8)
 
     if engine == "auto":
-        try:
-            on_tpu = jax.devices()[0].platform == "tpu"
-        except Exception:
-            on_tpu = False
-        engine = "device" if on_tpu else "native-or-device"
+        # measured round 3 (BENCHMARKS.md): the native C++ rasterizer beats
+        # the MXU one-hot windows path ~24× on real missions (0.05 s vs
+        # 1.19 s warm on the 984-scan regen; 0.22 vs 5.34 s at 5k scans,
+        # cell-identical outputs) — map regeneration is a host-side
+        # byte-twiddling workload, not a matmul. Device paths remain for
+        # hosts without the native library and for sharded-map pipelines.
+        engine = "native-or-device"
 
     if engine == "device":
         p32 = jnp.asarray(poses, jnp.float32)
