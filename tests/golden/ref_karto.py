@@ -20,7 +20,14 @@ import numpy as np
 PARITY_DIR = Path(__file__).resolve().parents[2] / "parity"
 LIB_PATH = PARITY_DIR / "build" / "libkarto_ref.so"
 
-_lib = None
+_libs: dict = {}
+
+
+def _lib_path(flavor: str) -> Path:
+    return PARITY_DIR / "build" / (
+        "libkarto_ref.so" if flavor == "assert" else
+        "libkarto_ref_ndebug.so"
+    )
 
 COMPUTE_FN = ctypes.CFUNCTYPE(
     None,
@@ -32,27 +39,32 @@ COMPUTE_FN = ctypes.CFUNCTYPE(
 )
 
 
-def build() -> bool:
-    """Build the reference library if missing. Returns availability."""
-    if LIB_PATH.exists():
+def build(flavor: str = "assert") -> bool:
+    """Build the reference library if missing. Returns availability.
+
+    flavor: "assert" (default; the round-2 golden build, asserts live) or
+    "ndebug" (catkin-Release semantics: asserts compiled out — what the
+    reference actually runs as; needed at outdoor shapes where singular
+    keep-set covariances trip Matrix3::Inverse's assert immediately)."""
+    path = _lib_path(flavor)
+    if path.exists():
         return True
     try:
         subprocess.run(
-            ["make", "-j4", "build/libkarto_ref.so"],
+            ["make", "-j4", path.name.replace("lib", "build/lib", 1)],
             cwd=PARITY_DIR, check=True, capture_output=True, timeout=600,
         )
     except Exception:
         return False
-    return LIB_PATH.exists()
+    return path.exists()
 
 
-def load():
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not build():
+def load(flavor: str = "assert"):
+    if flavor in _libs:
+        return _libs[flavor]
+    if not build(flavor):
         return None
-    lib = ctypes.CDLL(str(LIB_PATH))
+    lib = ctypes.CDLL(str(_lib_path(flavor)))
     d, i, vp, c = ctypes.c_double, ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p
     dp, ip = ctypes.POINTER(d), ctypes.POINTER(i)
     lib.km_new.restype = vp
@@ -81,7 +93,7 @@ def load():
     ]
     lib.km_grid_read.argtypes = [vp, ctypes.POINTER(ctypes.c_ubyte)]
     lib.km_grid_free.argtypes = [vp]
-    _lib = lib
+    _libs[flavor] = lib
     return lib
 
 
@@ -94,8 +106,9 @@ def _dptr(a: np.ndarray):
 class RefMapper:
     """One reference Mapper + laser + recording solver instance."""
 
-    def __init__(self, scan_cfg, laser_offset=(0.0, 0.0, 0.0)):
-        self.lib = load()
+    def __init__(self, scan_cfg, laser_offset=(0.0, 0.0, 0.0),
+                 flavor="assert"):
+        self.lib = load(flavor)
         assert self.lib is not None, "reference library unavailable"
         n = scan_cfg.num_beams
         max_angle = scan_cfg.angle_min + scan_cfg.angle_increment * (n - 1)

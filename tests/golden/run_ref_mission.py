@@ -20,12 +20,13 @@ def main():
 
     sys.path.insert(0, str(__file__).rsplit("/tests/", 1)[0])
     from tests.golden.ref_karto import RefMapper
-    from tests.test_golden_karto import golden_cfg
+    from tests.test_golden_karto import golden_cfg, outdoor_golden_cfg
 
     z = np.load(in_npz)
     ranges, odom = z["ranges"], z["odom"]
-    cfg = golden_cfg()
-    ref = RefMapper(cfg.scan)
+    cfg = outdoor_golden_cfg() if "--cfg-outdoor" in sys.argv else golden_cfg()
+    flavor = "ndebug" if "--ndebug" in sys.argv else "assert"
+    ref = RefMapper(cfg.scan, flavor=flavor)
     ref.configure(cfg)
 
     if with_solver:

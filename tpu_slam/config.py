@@ -233,9 +233,12 @@ class SolverConfig:
     use_dense_below: int = 512  # nodes; dense Cholesky under this, CG above
     # Schur-complement submap factorization (solver/schur.py): batched
     # per-submap Cholesky + one reduced separator solve. Replaces the dense
-    # (3M)³ factorization when the graph is large.
-    use_schur: bool = False
-    schur_submaps: int = 8
+    # (3M)³ factorization when the graph is large. Default ON for
+    # single-device solves (measured round 3: 236 ms vs 350 ms CG / 402 ms
+    # dense on the 1024-node graph, exact convergence); activates only
+    # above 2·submaps nodes, mesh solves keep the edge-sharded CG path.
+    use_schur: bool = True
+    schur_submaps: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -99,6 +99,118 @@ def graph_cost(poses, ei, ej, means, infos, mask):
     return jnp.sum(w * jnp.einsum("ea,eab,eb->e", r, infos, r))
 
 
+# --- transposed (edges-along-lanes) forms -----------------------------------
+# The (E,3,3)/(M,3) block layouts above put 3 in the lane dimension — every
+# batched-tiny-matmul einsum and scatter runs at ~2% lane utilization, and
+# XLA lowers them miserably on TPU (normal_equations alone measured 8.5 ms
+# on the 1024-node graph). The _T forms keep EDGES in the lane dimension
+# ((k, E)/(k, M) rows), express the 3×3 block algebra as ~200 fusable
+# elementwise formulas, and turn gather/scatter into one-hot matmuls
+# (exact: HIGHEST precision decomposes the f32 operand against an exactly
+# representable 0/1 one-hot). Used by the single-device LM program below a
+# node cap (the (M, E) one-hots are O(M·E) memory).
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _onehot_maps(ei, ej, M, dtype):
+    """Gi/Gj (M, E): column e is one-hot at node ei[e]/ej[e]."""
+    rows = jnp.arange(M, dtype=ei.dtype)[:, None]
+    return (
+        (ei[None, :] == rows).astype(dtype),
+        (ej[None, :] == rows).astype(dtype),
+    )
+
+
+def _edge_terms_T(pT, Gi, Gj, meansT):
+    """Shared per-edge rows: residuals r0/r1/r2 and the trig/Jacobian
+    scalars (all (E,) lanes)."""
+    pi = jax.lax.dot_general(pT, Gi, (((1,), (0,)), ((), ())), precision=_HI)
+    pj = jax.lax.dot_general(pT, Gj, (((1,), (0,)), ((), ())), precision=_HI)
+    c, s = jnp.cos(pi[2]), jnp.sin(pi[2])
+    dx, dy = pj[0] - pi[0], pj[1] - pi[1]
+    r0 = c * dx + s * dy - meansT[0]
+    r1 = -s * dx + c * dy - meansT[1]
+    rt = pj[2] - pi[2] - meansT[2]
+    r2 = jnp.arctan2(jnp.sin(rt), jnp.cos(rt))
+    drx = -s * dx + c * dy
+    dry = -c * dx - s * dy
+    return c, s, drx, dry, r0, r1, r2
+
+
+def graph_cost_T(pT, Gi, Gj, meansT, W6):
+    """rᵀΩr summed over edges; W6 = mask-weighted upper-triangle rows
+    (6, E) of the information matrices."""
+    _c, _s, _dx, _dy, r0, r1, r2 = _edge_terms_T(pT, Gi, Gj, meansT)
+    q = (
+        W6[0] * r0 * r0 + 2 * W6[1] * r0 * r1 + 2 * W6[2] * r0 * r2
+        + W6[3] * r1 * r1 + 2 * W6[4] * r1 * r2 + W6[5] * r2 * r2
+    )
+    return jnp.sum(q)
+
+
+def normal_equations_T(pT, Gi, Gj, meansT, W6):
+    """Transposed normal equations: Hd (M,3,3), Hij (E,3,3), b (M,3) —
+    same contract as normal_equations (sum order differs in low f32 bits)."""
+    c, s, drx, dry, r0, r1, r2 = _edge_terms_T(pT, Gi, Gj, meansT)
+    E = c.shape[0]
+    M = Gi.shape[0]
+    dt = pT.dtype
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    W00, W01, W02, W11, W12, W22 = W6
+
+    def JtW(j0, j1, j2):
+        return (
+            j0 * W00 + j1 * W01 + j2 * W02,
+            j0 * W01 + j1 * W11 + j2 * W12,
+            j0 * W02 + j1 * W12 + j2 * W22,
+        )
+
+    # Ji columns: (-c, s, 0), (-s, -c, 0), (drx, dry, -1); Jj: (c, -s, 0),
+    # (s, c, 0), (0, 0, 1) — edge_jacobians row forms, transposed
+    JiW = [JtW(-c, s, z), JtW(-s, -c, z), JtW(drx, dry, -o)]
+    JjW = [JtW(c, -s, z), JtW(s, c, z), JtW(z, z, o)]
+    Jic = [(-c, s, z), (-s, -c, z), (drx, dry, -o)]
+    Jjc = [(c, -s, z), (s, c, z), (z, z, o)]
+
+    def block(JW, Jc):
+        return jnp.stack(
+            [
+                JW[a][0] * Jc[b][0] + JW[a][1] * Jc[b][1]
+                + JW[a][2] * Jc[b][2]
+                for a in range(3)
+                for b in range(3)
+            ]
+        )  # (9, E)
+
+    Hii9 = block(JiW, Jic)
+    Hjj9 = block(JjW, Jjc)
+    Hij9 = block(JiW, Jjc)
+    bi3 = jnp.stack(
+        [JiW[a][0] * r0 + JiW[a][1] * r1 + JiW[a][2] * r2 for a in range(3)]
+    )
+    bj3 = jnp.stack(
+        [JjW[a][0] * r0 + JjW[a][1] * r1 + JjW[a][2] * r2 for a in range(3)]
+    )
+    GiT, GjT = Gi.T, Gj.T
+    Hd9 = (
+        jax.lax.dot_general(Hii9, GiT, (((1,), (0,)), ((), ())),
+                            precision=_HI)
+        + jax.lax.dot_general(Hjj9, GjT, (((1,), (0,)), ((), ())),
+                              precision=_HI)
+    )  # (9, M)
+    b3 = (
+        jax.lax.dot_general(bi3, GiT, (((1,), (0,)), ((), ())),
+                            precision=_HI)
+        + jax.lax.dot_general(bj3, GjT, (((1,), (0,)), ((), ())),
+                              precision=_HI)
+    )  # (3, M)
+    Hd = jnp.moveaxis(Hd9.reshape(3, 3, M), -1, 0).astype(dt)
+    Hij = jnp.moveaxis(Hij9.reshape(3, 3, E), -1, 0).astype(dt)
+    return Hd, Hij, b3.T
+
+
 def normal_equations(poses, ei, ej, means, infos, mask, n_nodes_max):
     """Scatter-assembled blocks: H_ii/H_jj/H_ij and gradient b = Jᵀ Ω r.
 
@@ -278,6 +390,22 @@ def _lm_loop_program(
     — the distributed setupSparseSys (spa2d.cpp:328-413) the reference's
     serial solver never had. Poses and free_mask stay replicated."""
 
+    # transposed (edges-along-lanes) forms: the one-hot maps are O(M·E)
+    # memory, so cap where they stay cheap. Works identically under
+    # shard_map — each device builds (M, E_shard) maps from its edge
+    # shard and the existing psums assemble the partials — keeping mesh
+    # and single-device programs numerically in lockstep.
+    E_edges = ei_d.shape[0]
+    use_T = schur_part is None and M * E_edges <= 64_000_000
+    if use_T:
+        Gi_T, Gj_T = _onehot_maps(ei_d, ej_d, M, p0.dtype)
+        meansT_T = means_d.T
+        wE = mask_d.astype(p0.dtype)
+        W6_T = jnp.stack(
+            [infos_d[:, 0, 0], infos_d[:, 0, 1], infos_d[:, 0, 2],
+             infos_d[:, 1, 1], infos_d[:, 1, 2], infos_d[:, 2, 2]]
+        ) * wE
+
     def solve(p, lam):
         if schur_part is not None:
             from tpu_slam.solver.schur import schur_delta
@@ -286,9 +414,14 @@ def _lm_loop_program(
                 schur_part, p, ei_d, ej_d, means_d, infos_d, mask_d,
                 lam, free_d,
             )
-        Hd, Hij, b = normal_equations(
-            p, ei_d, ej_d, means_d, infos_d, mask_d, M
-        )
+        if use_T:
+            Hd, Hij, b = normal_equations_T(
+                p.T, Gi_T, Gj_T, meansT_T, W6_T
+            )
+        else:
+            Hd, Hij, b = normal_equations(
+                p, ei_d, ej_d, means_d, infos_d, mask_d, M
+            )
         if use_dense:
             if psum_axis is not None:
                 H = jax.lax.psum(
@@ -307,7 +440,10 @@ def _lm_loop_program(
         )
 
     def cost_of(p):
-        c = graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
+        if use_T:
+            c = graph_cost_T(p.T, Gi_T, Gj_T, meansT_T, W6_T)
+        else:
+            c = graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
         return jax.lax.psum(c, psum_axis) if psum_axis is not None else c
 
     # sqMinDelta (spa2d.cpp:458). The reference's 1e-16 assumes f64; in
