@@ -232,13 +232,16 @@ class SolverConfig:
     cg_tolerance: float = 1e-10
     use_dense_below: int = 512  # nodes; dense Cholesky under this, CG above
     # Schur-complement submap factorization (solver/schur.py): batched
-    # per-submap Cholesky + one reduced separator solve. Replaces the dense
-    # (3M)³ factorization when the graph is large. Default ON for
-    # single-device solves (measured round 3: 236 ms vs 350 ms CG / 402 ms
-    # dense on the 1024-node graph, exact convergence); activates only
-    # above 2·submaps nodes, mesh solves keep the edge-sharded CG path.
-    use_schur: bool = True
+    # per-submap Cholesky + one reduced separator solve. Opt-in: it wins on
+    # closure-dense graphs (236 ms vs 350 ms CG on the synthetic 1024-node
+    # ring, round 3) but LOSES on real chain-shaped mission graphs (679 vs
+    # 404 ms/solve on the 984-scan mission) — CG stays the default.
+    use_schur: bool = False
     schur_submaps: int = 32
+    # whole-doSPA fused Pallas kernel (solver/pallas_lm.py): single-device
+    # f32 solves on TPU below the VMEM one-hot cap run the entire LM loop
+    # in one launch (measured 47 ms vs 351 ms XLA on the 1024-node graph)
+    use_fused_kernel: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

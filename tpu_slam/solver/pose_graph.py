@@ -491,6 +491,7 @@ class SolveStats(NamedTuple):
 
 
 _LM_PROGRAM_CACHE: dict = {}
+_SCHUR_PART_CACHE: dict = {}
 
 
 class PoseGraphSolver:
@@ -617,9 +618,43 @@ class PoseGraphSolver:
         mask_d = jnp.asarray(mask)
         free_d = jnp.asarray(free)
 
+        # fused-Pallas whole-LM kernel: the ENTIRE doSPA in ONE launch
+        # (solver/pallas_lm.py). Measured round 3 on the 1024-node graph:
+        # 47 ms vs 351 ms for the XLA while_loop program — at parity with
+        # the reference's CPU sparse path (43-51 ms), because in-kernel
+        # loop steps don't pay the ~20-30 µs XLA-iteration latency.
+        # Shapes use a FINER bucket ladder than the XLA arrays (512-step
+        # edges / 256-step nodes): the kernel's (E, M) one-hots live in
+        # VMEM, so power-of-two E padding would waste half the budget.
+        if (self.mesh is None and not cfg.use_schur
+                and cfg.use_fused_kernel
+                and self.dtype == jnp.float32
+                and jax.default_backend() == "tpu"):
+            from tpu_slam.solver.pallas_lm import (
+                fused_lm_applicable, fused_lm_solve,
+            )
+
+            Mf = -(-max(self.num_nodes, 2) // 256) * 256
+            Ef = -(-max(self.num_edges, 1) // 256) * 256
+            if fused_lm_applicable(Mf, Ef, self.dtype) and Mf <= M \
+                    and Ef <= E:
+                out = fused_lm_solve(
+                    jd(poses[:Mf]), jnp.asarray(ei[:Ef]),
+                    jnp.asarray(ej[:Ef]), jd(means[:Ef]),
+                    jd(infos[:Ef]), jnp.asarray(mask[:Ef]),
+                    jnp.asarray(free[:Mf]), cfg.initial_lambda,
+                    iters=iters, cg_iters=cfg.cg_iterations,
+                    cg_tol=cfg.cg_tolerance, sq_min_delta=1e-8,
+                )
+                return PackedPendingSolve(self, out[5], self.num_nodes)
+
         schur_part = None
         if (self.mesh is None and cfg.use_schur
-                and self.num_nodes > 2 * cfg.schur_submaps):
+                and self.num_nodes > 2 * cfg.schur_submaps
+                # only where it beats the alternatives (measured round 3):
+                # below use_dense_below the dense path wins and the
+                # per-compute host partitioning isn't worth it
+                and self.num_nodes >= cfg.use_dense_below):
             from tpu_slam.solver.schur import (
                 bucket_partition, build_partition,
             )
@@ -628,10 +663,23 @@ class PoseGraphSolver:
             # the device LM loop below consumes its fixed-shape index maps.
             # Widths are bucketed so the compiled program is reused as the
             # mission grows (a fresh shape = a multi-second tunnel compile
-            # per loop closure otherwise).
-            schur_part = bucket_partition(
-                build_partition(ei, ej, mask, M, cfg.schur_submaps)
+            # per loop closure otherwise). The partition itself is cached
+            # by graph content: the offline pipeline rebuilds an identical
+            # graph every solve round, and the numpy partitioning was
+            # costing more than the device solve it prepared (measured
+            # round 3 — karto offline throughput dropped ~25% without it).
+            pkey = (
+                M, cfg.schur_submaps,
+                hash((ei.tobytes(), ej.tobytes(), mask.tobytes())),
             )
+            schur_part = _SCHUR_PART_CACHE.get(pkey)
+            if schur_part is None:
+                schur_part = bucket_partition(
+                    build_partition(ei, ej, mask, M, cfg.schur_submaps)
+                )
+                if len(_SCHUR_PART_CACHE) > 64:
+                    _SCHUR_PART_CACHE.clear()
+                _SCHUR_PART_CACHE[pkey] = schur_part
 
         # The entire doSPA LM loop (spa2d.cpp:455-607) runs as ONE device
         # program: per-iteration host round-trips over a TPU tunnel cost more
@@ -713,6 +761,37 @@ class PoseGraphSolver:
         self._poses.clear()
         self._edges.clear()
         self._ids.clear()
+
+
+class PackedPendingSolve:
+    """PendingSolve over the fused kernel's single packed output —
+    poses + stats come back in ONE device→host transfer (each fetch costs
+    a full tunnel round trip; four of them dominated the solve wall)."""
+
+    def __init__(self, solver: "PoseGraphSolver", packed, n_nodes: int):
+        self._solver = solver
+        self._packed = packed
+        self.n_nodes = n_nodes
+        self._stats: SolveStats | None = None
+
+    def ready(self) -> bool:
+        if self._stats is not None:
+            return True
+        is_ready = getattr(self._packed, "is_ready", None)
+        return bool(is_ready()) if callable(is_ready) else True
+
+    def harvest(self) -> SolveStats:
+        if self._stats is not None:
+            return self._stats
+        raw = np.array(self._packed, np.float64)  # ONE fetch
+        s = self._solver
+        out = raw[0:3].T
+        for k in range(1, self.n_nodes):  # node 0 fixed
+            s._poses[k] = out[k]
+        self._stats = SolveStats(
+            int(raw[3, 2]), float(raw[3, 0]), float(raw[3, 1])
+        )
+        return self._stats
 
 
 class PendingSolve:
