@@ -121,6 +121,39 @@ def main():
     np.testing.assert_allclose(
         dist.get_poses(), ref.get_poses(), atol=5e-4
     )
+
+    # optional timed rung for SCALING.md: a bigger ring solved on the
+    # multi-process mesh, wall-clock printed per process
+    if "--timed" in sys.argv:
+        import time
+
+        Mt = int(sys.argv[sys.argv.index("--timed") + 1])
+        rng2 = np.random.default_rng(1)
+        th2 = np.linspace(0, 2 * np.pi, Mt, endpoint=False)
+        gt2 = np.stack(
+            [10 * np.cos(th2), 10 * np.sin(th2), th2], -1
+        ).astype(np.float64)
+        tsolver = PoseGraphSolver(SolverConfig(), mesh=mesh)
+        for i in range(Mt):
+            tsolver.add_node(i, gt2[i] + rng2.normal(0, 0.05, 3))
+        for i in range(Mt):
+            j = (i + 1) % Mt
+            a, b = gt2[i], gt2[j]
+            c, s_ = np.cos(a[2]), np.sin(a[2])
+            d = b[:2] - a[:2]
+            m = np.array([c * d[0] + s_ * d[1], -s_ * d[0] + c * d[1],
+                          np.arctan2(np.sin(b[2] - a[2]),
+                                     np.cos(b[2] - a[2]))])
+            tsolver.add_constraint(i, j, m, information=np.eye(3) * 50)
+        tsolver.compute()  # compile
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tsolver.compute()
+            best = min(best, time.perf_counter() - t0)
+        print(f"proc {pid}: timed_solve_ms={best * 1e3:.1f} M={Mt}",
+              flush=True)
+
     print(f"proc {pid}: OK ({jax.process_count()} processes, "
           f"{n_dev} global devices)", flush=True)
 
