@@ -742,6 +742,25 @@ class CorrelativeMatcher:
             )
         return self._full_cache[key]
 
+    def _full_packed(self, angle_offset: float, do_penalize: bool,
+                     do_fine: bool):
+        """_full with the result PACKED into one (13,) vector
+        [pose, response, cov.ravel()]: each device→host fetch costs a full
+        tunnel round trip, and fetching pose/response/covariance separately
+        tripled the per-match wall in the online pipeline."""
+        key = ("packed", angle_offset, do_penalize, do_fine)
+        if key not in self._full_cache:
+            f = self._match_fn(angle_offset, do_penalize, do_fine)
+
+            def packed(*a):
+                r = f(*a)
+                return jnp.concatenate(
+                    [r.pose, r.response[None], r.covariance.ravel()]
+                )
+
+            self._full_cache[key] = jax.jit(packed)
+        return self._full_cache[key]
+
     def _full_chains(
         self, n_chains: int, n_scans: int, n_beams: int, angle_offset: float,
         do_penalize: bool, do_fine: bool,
@@ -955,19 +974,24 @@ class CorrelativeMatcher:
         do_fine: bool = True,
     ) -> MatchResult:
         p = self.p
-        res = self._full(p.angle_offset, do_penalize, do_fine)(
-            base_pts, base_valid, scan_pts_laser, beam_valid, scan_pose
-        )
+
+        def run(ao):
+            raw = np.asarray(  # ONE device→host fetch for the whole result
+                self._full_packed(ao, do_penalize, do_fine)(
+                    base_pts, base_valid, scan_pts_laser, beam_valid,
+                    scan_pose,
+                )
+            )
+            return MatchResult(
+                raw[0:3], raw[3], raw[4:13].reshape(3, 3)
+            )
+
+        res = run(p.angle_offset)
         if self.use_response_expansion and float(res.response) < KT_TOLERANCE:
             angle_offset = p.angle_offset
             for i in range(3):  # widen by 20° up to 3 times (:242-272)
                 angle_offset += math.radians(20.0)
-                res = self._full(
-                    round(angle_offset, 6), do_penalize, do_fine
-                )(
-                    base_pts, base_valid, scan_pts_laser, beam_valid,
-                    scan_pose,
-                )
+                res = run(round(angle_offset, 6))
                 if float(res.response) >= KT_TOLERANCE:
                     break
         return res
