@@ -34,10 +34,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget: the (E, M) one-hot pair costs 8·M·E bytes of scratch and
-# the chunk-streamed kernel needs ~1.5 MB of stack on top (measured) —
-# 1.6e6 elements ≈ 12.8 MB scratch fits the 16 MB scoped limit
-MAX_ONEHOT_ELEMS = 1_600_000
+# VMEM budget: the combined (E, M) endpoint map costs 4·M·E bytes of
+# scratch (gi and gj share one buffer, decoded per chunk) and the
+# chunk-streamed kernel needs ~1.5 MB of stack on top — 3.2e6 elements
+# ≈ 12.8 MB scratch fits the 16 MB scoped limit
+MAX_ONEHOT_ELEMS = 3_200_000
 
 
 def _norm_angle(th):
@@ -61,7 +62,11 @@ def _make_kernel(M: int, E: int, iters: int, cg_iters: int,
         lam_ref,     # (1, 1) initial lambda
         out_ref,     # (8, M) corrected poses (rows 0..2)
         stats_ref,   # (1, 128) [cost0, cost, good, iters]
-        git_ref, gjt_ref,  # scratch (E, M) one-hot maps
+        gc_ref,            # scratch (E, M) combined endpoint map:
+        #                     (col==ei) + 2·(col==ej) ∈ {0,1,2,3} — one
+        #                     buffer instead of two halves the VMEM cost;
+        #                     each chunk use decodes gi/gj with two cheap
+        #                     VPU passes
         ga_ref, gb_ref,    # (8, E) gather outputs (reused per call)
         sc_ref,            # (16, E) scatter staging
     ):
@@ -74,12 +79,13 @@ def _make_kernel(M: int, E: int, iters: int, cg_iters: int,
 
         def build_chunk(k, _):
             r0 = pl.multiple_of(k * CHB, CHB)
-            git_ref[pl.ds(r0, CHB), :] = (
-                colsB == eidx_ref[pl.ds(r0, CHB), 0:1].astype(jnp.int32)
-            ).astype(dt)
-            gjt_ref[pl.ds(r0, CHB), :] = (
-                colsB == eidx_ref[pl.ds(r0, CHB), 1:2].astype(jnp.int32)
-            ).astype(dt)
+            gc_ref[pl.ds(r0, CHB), :] = (
+                (colsB == eidx_ref[pl.ds(r0, CHB), 0:1].astype(jnp.int32)
+                 ).astype(dt)
+                + 2.0 * (
+                    colsB == eidx_ref[pl.ds(r0, CHB), 1:2].astype(jnp.int32)
+                ).astype(dt)
+            )
             return 0
 
         jax.lax.fori_loop(0, E // CHB, build_chunk, 0)
@@ -96,6 +102,11 @@ def _make_kernel(M: int, E: int, iters: int, cg_iters: int,
         CH = 128
         n_ch = E // CH
 
+        def _decode(gc, which):
+            # gc ∈ {0,1,2,3} = gi + 2·gj → gi = gc − 2·⌊gc/2⌋, gj = ⌊gc/2⌋
+            gj = jnp.floor(gc * 0.5)
+            return gc - 2.0 * gj if which == 0 else gj
+
         def gath(xT, precise=True):  # (3, M) → (3, E)×2 at endpoints
             # precise=True (HIGHEST): the MXU's single-pass bf16 rounding
             # of the f32 operand is NOT exact even against a 0/1 one-hot
@@ -108,13 +119,14 @@ def _make_kernel(M: int, E: int, iters: int, cg_iters: int,
 
             def chunk(k, _):
                 c0 = pl.multiple_of(k * CH, CH)
+                gc = gc_ref[pl.ds(c0, CH), :]
                 ga_ref[0:3, pl.ds(c0, CH)] = jax.lax.dot_general(
-                    xT, git_ref[pl.ds(c0, CH), :],
+                    xT, _decode(gc, 0),
                     (((1,), (1,)), ((), ())), preferred_element_type=dt,
                     precision=prec,
                 )
                 gb_ref[0:3, pl.ds(c0, CH)] = jax.lax.dot_general(
-                    xT, gjt_ref[pl.ds(c0, CH), :],
+                    xT, _decode(gc, 1),
                     (((1,), (1,)), ((), ())), preferred_element_type=dt,
                     precision=prec,
                 )
@@ -124,7 +136,6 @@ def _make_kernel(M: int, E: int, iters: int, cg_iters: int,
             return ga_ref[0:3, :], gb_ref[0:3, :]
 
         def scat(rows, which):  # (k, E) → (k, M) summed at endpoints
-            ref = git_ref if which == 0 else gjt_ref
             kr = rows.shape[0]
             sc_ref[0:kr, :] = rows
 
@@ -132,7 +143,7 @@ def _make_kernel(M: int, E: int, iters: int, cg_iters: int,
                 c0 = pl.multiple_of(k * CH, CH)
                 return acc + jax.lax.dot_general(
                     sc_ref[0:kr, pl.ds(c0, CH)],
-                    ref[pl.ds(c0, CH), :],
+                    _decode(gc_ref[pl.ds(c0, CH), :], which),
                     (((1,), (0,)), ((), ())), preferred_element_type=dt,
                 )
 
@@ -415,7 +426,6 @@ def fused_lm_solve(
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((E, M), dt),
             pltpu.VMEM((E, M), dt),
             pltpu.VMEM((8, E), dt),
             pltpu.VMEM((8, E), dt),
