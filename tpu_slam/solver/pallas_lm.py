@@ -108,12 +108,13 @@ def _make_kernel(M: int, E: int, iters: int, cg_iters: int,
             return gc - 2.0 * gj if which == 0 else gj
 
         def gath(xT, precise=True):  # (3, M) → (3, E)×2 at endpoints
-            # precise=True (HIGHEST): the MXU's single-pass bf16 rounding
-            # of the f32 operand is NOT exact even against a 0/1 one-hot
-            # (measured +3.6% on the initial graph cost) — pose gathers
-            # feeding trig/residuals need the multi-pass decomposition.
-            # The CG matvec tolerates DEFAULT (it perturbs the operator by
-            # ~bf16 relative error; LM's exact cost gate absorbs it).
+            # HIGHEST: the MXU's single-pass bf16 rounding of the f32
+            # operand is NOT exact even against a 0/1 one-hot (+3.6% on
+            # the initial graph cost); DEFAULT anywhere in the solve
+            # (gathers, matvec, or assembly scatters) measurably degrades
+            # the reached optimum (mission ATE 0.0145-0.0152 vs 0.0102 m)
+            # — exact selection everywhere costs 2x kernel time and is
+            # still ~4x the XLA program.
             prec = (jax.lax.Precision.HIGHEST if precise
                     else jax.lax.Precision.DEFAULT)
 
@@ -141,10 +142,15 @@ def _make_kernel(M: int, E: int, iters: int, cg_iters: int,
 
             def chunk(k, acc):
                 c0 = pl.multiple_of(k * CH, CH)
+                # HIGHEST here too: DEFAULT-precision H/b assembly and
+                # matvec scatters converge the LM to a measurably worse
+                # optimum (mission ATE 0.0152 vs 0.0102 m) — selection
+                # exactness matters on BOTH sides of the one-hot
                 return acc + jax.lax.dot_general(
                     sc_ref[0:kr, pl.ds(c0, CH)],
                     _decode(gc_ref[pl.ds(c0, CH), :], which),
                     (((1,), (0,)), ((), ())), preferred_element_type=dt,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
 
             return jax.lax.fori_loop(
@@ -254,7 +260,7 @@ def _make_kernel(M: int, E: int, iters: int, cg_iters: int,
 
             def mv(x):
                 x = x * fm0
-                xi, xj = gath(x, precise=False)
+                xi, xj = gath(x, precise=True)
                 u = jnp.concatenate(
                     [
                         H9[0] * xj[0:1] + H9[1] * xj[1:2] + H9[2] * xj[2:3],
