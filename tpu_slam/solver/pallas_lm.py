@@ -14,7 +14,8 @@ VMEM-resident.
 Gather/scatter are one-hot matmuls against GiT/GjT (E, M): column maps
 built in-kernel from the edge indices (one iota compare each). They are
 O(M·E) VMEM, which caps this kernel at mission-scale graphs
-(M·E ≤ ~1.3e6 — ≥ every indoor mission and the 1024-node benchmark);
+(M·E ≤ 3.2e6 — every indoor mission incl. late online graphs, and the
+1024-node benchmark);
 larger graphs fall back to the XLA paths, and the sharded mesh program is
 unchanged. Selection matmuls of f32 against a 0/1 one-hot are exact (the
 same contract the plicp/correlative kernels rely on); accumulation orders

@@ -620,9 +620,10 @@ class PoseGraphSolver:
 
         # fused-Pallas whole-LM kernel: the ENTIRE doSPA in ONE launch
         # (solver/pallas_lm.py). Measured round 3 on the 1024-node graph:
-        # 47 ms vs 351 ms for the XLA while_loop program — at parity with
-        # the reference's CPU sparse path (43-51 ms), because in-kernel
-        # loop steps don't pay the ~20-30 µs XLA-iteration latency.
+        # 111 ms (exact HIGHEST precision; 58 ms mixed) vs 351 ms for the
+        # XLA while_loop program — in-kernel loop steps don't pay the
+        # ~20-30 µs XLA-iteration latency, and the exact-selection policy
+        # gives the best mission ATE recorded (BENCHMARKS round 3).
         # Shapes use a FINER bucket ladder than the XLA arrays (512-step
         # edges / 256-step nodes): the kernel's (E, M) one-hots live in
         # VMEM, so power-of-two E padding would waste half the budget.
