@@ -731,20 +731,10 @@ class CorrelativeMatcher:
 
         return f
 
-    def _full(self, angle_offset: float, do_penalize: bool, do_fine: bool):
-        """One fused device program per (angle window, penalty, fine) combo.
-        Host round-trips over a TPU tunnel cost more than the whole match,
-        so everything is one jit."""
-        key = (angle_offset, do_penalize, do_fine)
-        if key not in self._full_cache:
-            self._full_cache[key] = jax.jit(
-                self._match_fn(angle_offset, do_penalize, do_fine)
-            )
-        return self._full_cache[key]
-
     def _full_packed(self, angle_offset: float, do_penalize: bool,
                      do_fine: bool):
-        """_full with the result PACKED into one (13,) vector
+        """One fused device program per (angle window, penalty, fine)
+        combo, with the result PACKED into one (13,) vector
         [pose, response, cov.ravel()]: each device→host fetch costs a full
         tunnel round trip, and fetching pose/response/covariance separately
         tripled the per-match wall in the online pipeline."""
