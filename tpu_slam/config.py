@@ -230,6 +230,12 @@ class SolverConfig:
     convergence_delta: float = 1e-16  # ‖δ‖² threshold
     cg_iterations: int = 100  # CG cap for the iterative path
     cg_tolerance: float = 1e-10
+    # restarted CG: fresh Krylov space at the TRUE residual, `restarts`
+    # times. f32 CG loses conjugacy on high-diameter graphs — 2 restarts
+    # recover 4.6× better convergence on the synthetic 4k ring (cost
+    # 0.355 → 0.077) at 2× solve time, but measured NO accuracy gain on
+    # the real 6k outdoor mission — hence opt-in (BENCHMARKS round 3)
+    cg_restarts: int = 1
     use_dense_below: int = 512  # nodes; dense Cholesky under this, CG above
     # Schur-complement submap factorization (solver/schur.py): batched
     # per-submap Cholesky + one reduced separator solve. Opt-in: it wins on

@@ -310,7 +310,7 @@ def cg_matvec(x, Hd_damped, Hij, ei, ej, free_mask, psum_axis=None):
 
 
 def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol,
-             psum_axis=None):
+             psum_axis=None, restarts=1):
     """Block-Jacobi preconditioned CG (the bpcg.h analogue).
 
     Runs at most ``iters`` steps, stopping early once the residual has
@@ -370,17 +370,24 @@ def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol,
         _x, r, _z, _p, _rz, it = state
         return (it < iters) & (jnp.sum(r * r) > stop2)
 
-    r0 = bb - mv(x0)
-    z0 = precond(r0)
-    x, *_ = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, jnp.sum(r0 * z0), jnp.int32(0))
-    )
+    x = x0
+    # restarted CG: recompute the TRUE residual and a fresh Krylov space
+    # every `iters` steps. f32 CG loses conjugacy on large graphs — at 4k+
+    # nodes a single long run stalls (or degrades: CG-400 measured WORSE
+    # than CG-100, BENCHMARKS round 3); restarts cap the drift.
+    for _ in range(max(int(restarts), 1)):
+        r0 = bb - mv(x)
+        z0 = precond(r0)
+        x, *_ = jax.lax.while_loop(
+            cond, body, (x, r0, z0, z0, jnp.sum(r0 * z0), jnp.int32(0))
+        )
     return x
 
 
 def _lm_loop_program(
     p0, lam0, ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
     *, M, use_dense, iters, cg_iterations, cg_tolerance, psum_axis=None,
+    cg_restarts=1,
 ):
     """The device-resident doSPA loop body (see PoseGraphSolver.compute).
 
@@ -437,6 +444,7 @@ def _lm_loop_program(
         return cg_solve(
             Hd, Hij, ei_d, ej_d, b, lam, free_d,
             cg_iterations, cg_tolerance, psum_axis,
+            restarts=cg_restarts,
         )
 
     def cost_of(p):
@@ -691,7 +699,8 @@ class PoseGraphSolver:
         # graph content (edges, partition index maps) flows in as arguments.
         key = (
             M, E, use_dense, iters,
-            cfg.cg_iterations, cfg.cg_tolerance, self.dtype,
+            cfg.cg_iterations, cfg.cg_tolerance, cfg.cg_restarts,
+            self.dtype,
             None if self.mesh is None else (self.mesh, self.mesh_axis),
             None if schur_part is None else tuple(
                 a.shape for a in jax.tree_util.tree_leaves(schur_part)
@@ -706,7 +715,7 @@ class PoseGraphSolver:
                     _lm_loop_program, M=M, use_dense=use_dense,
                     iters=iters, cg_iterations=cfg.cg_iterations,
                     cg_tolerance=cfg.cg_tolerance, psum_axis=ax,
-                    schur_part=None,
+                    cg_restarts=cfg.cg_restarts, schur_part=None,
                 )
                 self._lm_cache[key] = jax.jit(
                     jax.shard_map(
@@ -723,6 +732,7 @@ class PoseGraphSolver:
                         _lm_loop_program, M=M, use_dense=use_dense,
                         iters=iters, cg_iterations=cfg.cg_iterations,
                         cg_tolerance=cfg.cg_tolerance,
+                        cg_restarts=cfg.cg_restarts,
                     )
                 )
         if self.mesh is not None:
