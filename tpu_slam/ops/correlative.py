@@ -25,7 +25,6 @@ different static shapes, as in the reference (two ScanMatcher instances).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from typing import NamedTuple
 

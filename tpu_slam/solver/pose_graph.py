@@ -25,7 +25,6 @@ with laminc doubling on failure, stop on ‖δ‖² < 1e-16 (spa2d.cpp:531-582).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple
 
