@@ -246,8 +246,21 @@ class SolverConfig:
     schur_submaps: int = 32
     # whole-doSPA fused Pallas kernel (solver/pallas_lm.py): single-device
     # f32 solves on TPU below the VMEM one-hot cap run the entire LM loop
-    # in one launch (measured 47 ms vs 351 ms XLA on the 1024-node graph)
+    # in one launch. Shipped at HIGHEST precision: 111 ms on the
+    # 1024-node graph vs 351 ms XLA (58 ms mixed-precision degrades the
+    # reached optimum; BENCHMARKS round 3). Round 4: superseded on
+    # bandable graphs by the DIRECT kernel below; kept as the fallback.
     use_fused_kernel: bool = True
+    # direct cyclic-reduction kernel (solver/pallas_cr_lm.py): the EXACT
+    # factorization (RCM-banded supernodes + block cyclic reduction =
+    # Cholesky under nested dissection) run as one Pallas launch — the
+    # TPU-native analogue of the reference's sparse Cholesky
+    # (spa2d.cpp:505 csp.doChol). Round-4 measured walls through the
+    # tunnel on the ring benchmark: 30/43/63/150 ms at 1024/2048/4096/
+    # 8192 nodes vs the harnessed reference sparse 43/84/198/~700 ms,
+    # converged cost 0.0 (exact) at every size — no f32-CG cliff.
+    use_direct: bool = True
+    direct_max_bandwidth: int = 8  # RCM block bandwidth cap (bucketed)
 
 
 @dataclasses.dataclass(frozen=True)

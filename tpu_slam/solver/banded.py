@@ -42,6 +42,7 @@ WMAX = 8  # reject graphs whose RCM bandwidth exceeds this (fall back)
 NBANKS = 2  # slot banks: duplicate node-pair constraints (the classic
 #             ring benchmark measures BOTH i->j and j->i closures across
 #             the circle) get a second slot at the same (lo, d)
+SLOT_ROWS = 10  # mean(3) + info upper-triangle(6) + flip(1) per (bank,d)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,8 +76,8 @@ def _bucket_w(w: int) -> int:
     return w
 
 
-def _bucket_k(k: int) -> int:
-    b = 128
+def _bucket_k(k: int, min_k: int = 128) -> int:
+    b = min_k
     while b < k:
         b *= 2
     return b
@@ -97,7 +98,8 @@ def rcm_order(ei, ej, M: int):
 
 
 def prepare_banded(ei, ej, n_nodes: int,
-                   max_bandwidth: int = WMAX) -> BandedSpec | None:
+                   max_bandwidth: int = WMAX,
+                   min_k: int = 128) -> BandedSpec | None:
     """Host prep: ordering, bucketing, slot indices. None if the graph
     does not band (bandwidth too large after RCM, duplicate node-pair
     constraints, or trivial size)."""
@@ -116,7 +118,7 @@ def prepare_banded(ei, ej, n_nodes: int,
     if bw == 0 or bw > max_bandwidth:
         return None
     W = _bucket_w(bw)
-    K = _bucket_k(-(-M // W))
+    K = _bucket_k(-(-M // W), min_k)
     lo = np.minimum(pi, pj)
     hi = np.maximum(pi, pj)
     d = hi - lo
@@ -167,6 +169,42 @@ def spec_cache_key(ei, ej, mask, n_nodes: int) -> bytes:
     h.update(np.asarray(mask, bool).tobytes())
     h.update(int(n_nodes).to_bytes(8, "little"))
     return h.digest()
+
+
+def build_slots_np(spec: BandedSpec, means, infos):
+    """(NBANKS*W*SLOT_ROWS, W*K) dense slot rows - numpy mirror of the
+    device prelude scatter (tests; the solver scatters on device)."""
+    W, K = spec.W, spec.K
+    out = np.zeros((NBANKS * W * SLOT_ROWS, W * K), np.float32)
+    for e in range(len(spec.edge_lane)):
+        base = (int(spec.edge_bank[e]) * W + int(spec.edge_d[e]) - 1)
+        base *= SLOT_ROWS
+        f = int(spec.edge_lane[e])
+        Om = infos[e]
+        out[base + 0:base + 3, f] = means[e]
+        out[base + 3, f] = Om[0, 0]
+        out[base + 4, f] = Om[0, 1]
+        out[base + 5, f] = Om[0, 2]
+        out[base + 6, f] = Om[1, 1]
+        out[base + 7, f] = Om[1, 2]
+        out[base + 8, f] = Om[2, 2]
+        out[base + 9, f] = spec.edge_flip[e]
+    return out
+
+
+def flat_poses_np(spec: BandedSpec, poses):
+    """(8, W*K): rows 0..2 = posesT in flat layout, row 3 = free mask."""
+    W, K = spec.W, spec.K
+    out = np.zeros((8, W * K), np.float32)
+    src = poses[spec.pose_src].T.astype(np.float32)  # (3, WK)
+    out[0:3] = src * spec.pose_valid[None, :]
+    out[3] = spec.free_flat
+    return out
+
+
+def unflatten_poses_np(spec: BandedSpec, packed):
+    """Inverse of flat_poses_np on the kernel's packed output row 0..2."""
+    return np.asarray(packed, np.float64)[0:3, spec.flat_of_orig].T
 
 
 # --- numpy oracle of the masked cyclic-reduction solve ----------------------

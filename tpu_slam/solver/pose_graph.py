@@ -499,6 +499,29 @@ class SolveStats(NamedTuple):
 
 _LM_PROGRAM_CACHE: dict = {}
 _SCHUR_PART_CACHE: dict = {}
+# direct-path caches: graph topology -> BandedSpec (RCM + layout), and
+# graph content -> device-resident slot array (uploaded once per graph)
+_CR_SPEC_CACHE: dict = {}
+_CR_SLOTS_CACHE: dict = {}
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "wk"))
+def _cr_slots_device(rowbase, lane, vals, rows: int, wk: int):
+    """Scatter per-edge slot values into the dense (rows, W*K) slot
+    array ON DEVICE - the host uploads only E*13 floats per graph."""
+    r10 = rowbase[None, :] + jnp.arange(10, dtype=rowbase.dtype)[:, None]
+    c10 = jnp.broadcast_to(lane[None, :], r10.shape)
+    return jnp.zeros((rows, wk), jnp.float32).at[r10, c10].add(vals)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _cr_poses_device(poses, pose_src, valid, free):
+    """(8, W*K) kernel pose input from original-order poses."""
+    wk = pose_src.shape[0]
+    src = jnp.take(poses, pose_src, axis=0).T * valid[None, :]
+    out = jnp.zeros((8, wk), jnp.float32)
+    out = jax.lax.dynamic_update_slice(out, src.astype(jnp.float32), (0, 0))
+    return out.at[3, :].set(free)
 
 
 class PoseGraphSolver:
@@ -608,6 +631,23 @@ class PoseGraphSolver:
 
         poses = np.zeros((M, 3))
         poses[: self.num_nodes] = np.asarray(self._poses)
+
+        # direct cyclic-reduction kernel (solver/pallas_cr_lm.py): the
+        # EXACT factorization — the TPU-native sparse Cholesky analogue
+        # (spa2d.cpp:505). Preferred over the fused-CG kernel wherever
+        # the graph bands under RCM (all ring benchmarks and karto
+        # mission graphs measured so far): faster AND exact at every
+        # size, with no M·E one-hot VMEM cap and no f32-CG cliff.
+        # Checked BEFORE the padded edge arrays are built — the direct
+        # path uploads only poses per solve (slots are device-cached).
+        if (self.mesh is None and not cfg.use_schur and cfg.use_direct
+                and self.dtype == jnp.float32
+                and jax.default_backend() == "tpu"
+                and self.num_nodes > cfg.use_dense_below):
+            pending = self._compute_direct(iters, poses)
+            if pending is not None:
+                return pending
+
         ei = np.zeros(E, np.int32)
         ej = np.zeros(E, np.int32)
         means = np.zeros((E, 3))
@@ -766,6 +806,81 @@ class PoseGraphSolver:
             )
         return PendingSolve(self, arrays, self.num_nodes)
 
+    def _compute_direct(self, iters: int, poses_padded) -> \
+            "DirectPendingSolve | None":
+        """Dispatch the direct CR kernel if the graph bands; None if it
+        doesn't (bandwidth too large, duplicate pairs beyond the banks,
+        or VMEM-infeasible shape) — callers fall back to the CG paths."""
+        import hashlib
+
+        from tpu_slam.solver import banded
+        from tpu_slam.solver.pallas_cr_lm import (
+            cr_lm_applicable, fused_cr_lm)
+
+        cfg = self.cfg
+        E0 = self.num_edges
+        if E0 == 0:
+            return None
+        ei = np.fromiter((e[0] for e in self._edges), np.int64, E0)
+        ej = np.fromiter((e[1] for e in self._edges), np.int64, E0)
+        tkey = banded.spec_cache_key(ei, ej, np.ones(E0, bool),
+                                     self.num_nodes)
+        entry = _CR_SPEC_CACHE.get(tkey)
+        if entry is None:
+            spec = banded.prepare_banded(ei, ej, self.num_nodes,
+                                         cfg.direct_max_bandwidth)
+            consts = None
+            if spec is not None and cr_lm_applicable(spec.W, spec.K):
+                # device-resident per-graph constants: uploaded ONCE —
+                # each extra host->device transfer per solve costs a
+                # tunnel round trip (round-3 lesson)
+                consts = (
+                    jnp.asarray(spec.pose_src),
+                    jnp.asarray(spec.pose_valid, jnp.float32),
+                    jnp.asarray(spec.free_flat),
+                )
+            if len(_CR_SPEC_CACHE) > 64:
+                _CR_SPEC_CACHE.clear()
+            entry = (spec, consts)
+            _CR_SPEC_CACHE[tkey] = entry
+        spec, consts = entry
+        if spec is None or consts is None:
+            return None
+
+        # slot array: device-resident, re-scattered only when the graph
+        # content changes (the offline mapper re-adds edges with NEW
+        # means after re-matching — topology alone is not a safe key)
+        h = hashlib.blake2b(tkey, digest_size=16)
+        for _i, _j, m, w in self._edges:
+            h.update(m.tobytes())
+            h.update(w.tobytes())
+        skey = h.digest()
+        slots_d = _CR_SLOTS_CACHE.get(skey)
+        if slots_d is None:
+            vals = np.zeros((10, E0), np.float32)
+            for k, (_i, _j, m, w) in enumerate(self._edges):
+                vals[0:3, k] = m
+                vals[3:9, k] = (w[0, 0], w[0, 1], w[0, 2],
+                                w[1, 1], w[1, 2], w[2, 2])
+            vals[9] = spec.edge_flip
+            rowbase = (spec.edge_bank * spec.W
+                       + spec.edge_d - 1).astype(np.int32) * banded.SLOT_ROWS
+            slots_d = _cr_slots_device(
+                jnp.asarray(rowbase), jnp.asarray(spec.edge_lane),
+                jnp.asarray(vals),
+                rows=banded.NBANKS * spec.W * banded.SLOT_ROWS,
+                wk=spec.flat_size)
+            if len(_CR_SLOTS_CACHE) > 16:
+                _CR_SLOTS_CACHE.clear()
+            _CR_SLOTS_CACHE[skey] = slots_d
+
+        pT8 = _cr_poses_device(
+            jnp.asarray(poses_padded, jnp.float32), *consts)
+        out = fused_cr_lm(
+            pT8, slots_d, jnp.float32(cfg.initial_lambda),
+            W=spec.W, K=spec.K, iters=iters, sq_min_delta=1e-8)
+        return DirectPendingSolve(self, out, spec, self.num_nodes)
+
     def clear(self) -> None:
         """ScanSolver::Clear — drop graph (karto re-adds after loop)."""
         self._poses.clear()
@@ -801,6 +916,40 @@ class PackedPendingSolve:
         self._stats = SolveStats(
             int(raw[3, 2]), float(raw[3, 0]), float(raw[3, 1])
         )
+        return self._stats
+
+
+class DirectPendingSolve:
+    """PendingSolve over the direct CR kernel's packed output: poses come
+    back in the flat offset-major layout and are re-ordered host-side via
+    the spec's index map — still ONE device->host transfer."""
+
+    def __init__(self, solver: "PoseGraphSolver", packed, spec,
+                 n_nodes: int):
+        self._solver = solver
+        self._packed = packed
+        self._spec = spec
+        self.n_nodes = n_nodes
+        self._stats: SolveStats | None = None
+
+    def ready(self) -> bool:
+        if self._stats is not None:
+            return True
+        is_ready = getattr(self._packed, "is_ready", None)
+        return bool(is_ready()) if callable(is_ready) else True
+
+    def harvest(self) -> SolveStats:
+        if self._stats is not None:
+            return self._stats
+        raw = np.array(self._packed, np.float64)  # ONE fetch
+        s = self._solver
+        out = raw[0:3, self._spec.flat_of_orig].T
+        for k in range(1, self.n_nodes):  # node 0 gauge-fixed
+            s._poses[k] = out[k]
+        # stats lane order: [cost0, cost, good, iters]; SolveStats
+        # reports GOOD iterations like doSPA's return value
+        self._stats = SolveStats(
+            int(raw[3, 2]), float(raw[3, 0]), float(raw[3, 1]))
         return self._stats
 
 
