@@ -345,7 +345,10 @@ def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol,
         # early-out semantics while paying the (measured ~20-30 µs on v5e
         # via axon) per-loop-iteration overhead UNROLL× less often
         x, r, z, p, rz, it = state
-        live = jnp.sum(r * r) > stop2
+        # gate on the iteration cap too: without it up to UNROLL-1 extra
+        # live steps could run past `iters` between cond checks (ADVICE
+        # round 3) — with it the docstring's "at most iters" holds
+        live = (jnp.sum(r * r) > stop2) & (it < iters)
         lv = live.astype(dt)
         Ap = mv(p)
         pAp = jnp.sum(p * Ap)
@@ -383,10 +386,17 @@ def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol,
     return x
 
 
+def _sq_min_delta(convergence_delta: float, dtype) -> float:
+    """cfg.convergence_delta with the f32 floor (see _lm_loop_program)."""
+    if dtype == jnp.float64:
+        return float(convergence_delta)
+    return max(float(convergence_delta), 1e-8)
+
+
 def _lm_loop_program(
     p0, lam0, ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
     *, M, use_dense, iters, cg_iterations, cg_tolerance, psum_axis=None,
-    cg_restarts=1,
+    cg_restarts=1, convergence_delta=1e-16,
 ):
     """The device-resident doSPA loop body (see PoseGraphSolver.compute).
 
@@ -453,12 +463,13 @@ def _lm_loop_program(
             c = graph_cost(p, ei_d, ej_d, means_d, infos_d, mask_d)
         return jax.lax.psum(c, psum_axis) if psum_axis is not None else c
 
-    # sqMinDelta (spa2d.cpp:458). The reference's 1e-16 assumes f64; in
-    # f32 ‖δ‖² floors around 1e-9 (eps·pose-scale over 3M coords) and the
-    # loop would burn its full iteration budget after convergence. 1e-8
-    # (‖δ‖ ≈ 1e-4 aggregated over ALL nodes — sub-0.1 mm) is the f32-
-    # honest equivalent; f64 keeps the reference threshold.
-    sq_min_delta = 1e-16 if p0.dtype == jnp.float64 else 1e-8
+    # sqMinDelta (spa2d.cpp:458) from cfg.convergence_delta. The
+    # reference's 1e-16 assumes f64; in f32 ‖δ‖² floors around 1e-9
+    # (eps·pose-scale over 3M coords) and the loop would burn its full
+    # iteration budget after convergence — so f32 floors the configured
+    # threshold at 1e-8 (‖δ‖ ≈ 1e-4 aggregated over ALL nodes, sub-0.1
+    # mm); f64 honors it exactly.
+    sq_min_delta = _sq_min_delta(convergence_delta, p0.dtype)
 
     def body(state):
         p, lam, laminc, cost, it, good, _done = state
@@ -674,8 +685,15 @@ class PoseGraphSolver:
         # Shapes use a FINER bucket ladder than the XLA arrays (512-step
         # edges / 256-step nodes): the kernel's (E, M) one-hots live in
         # VMEM, so power-of-two E padding would waste half the budget.
+        # NOTE the fused kernel replaces BOTH the dense-Cholesky and CG
+        # XLA paths when it applies (its exact-selection CG converges at
+        # least as well as either on in-cap graphs — BENCHMARKS round 3).
+        # cfg.cg_restarts > 1 is a request for the XLA restarted-CG
+        # program, which the kernel does not implement — honor it by
+        # falling back instead of silently ignoring it (ADVICE round 3).
         if (self.mesh is None and not cfg.use_schur
                 and cfg.use_fused_kernel
+                and cfg.cg_restarts <= 1
                 and self.dtype == jnp.float32
                 and jax.default_backend() == "tpu"):
             from tpu_slam.solver.pallas_lm import (
@@ -692,7 +710,8 @@ class PoseGraphSolver:
                     jd(infos[:Ef]), jnp.asarray(mask[:Ef]),
                     jnp.asarray(free[:Mf]), cfg.initial_lambda,
                     iters=iters, cg_iters=cfg.cg_iterations,
-                    cg_tol=cfg.cg_tolerance, sq_min_delta=1e-8,
+                    cg_tol=cfg.cg_tolerance,
+                    sq_min_delta=_sq_min_delta(cfg.convergence_delta, self.dtype),
                 )
                 return PackedPendingSolve(self, out[5], self.num_nodes)
 
@@ -716,10 +735,15 @@ class PoseGraphSolver:
             # graph every solve round, and the numpy partitioning was
             # costing more than the device solve it prepared (measured
             # round 3 — karto offline throughput dropped ~25% without it).
-            pkey = (
-                M, cfg.schur_submaps,
-                hash((ei.tobytes(), ej.tobytes(), mask.tobytes())),
-            )
+            import hashlib
+
+            hk = hashlib.blake2b(digest_size=16)  # content digest — a
+            # built-in hash() collision would silently reuse a WRONG
+            # partition and corrupt the Schur solve (ADVICE round 3)
+            hk.update(ei.tobytes())
+            hk.update(ej.tobytes())
+            hk.update(mask.tobytes())
+            pkey = (M, cfg.schur_submaps, hk.digest())
             schur_part = _SCHUR_PART_CACHE.get(pkey)
             if schur_part is None:
                 schur_part = bucket_partition(
@@ -739,7 +763,7 @@ class PoseGraphSolver:
         key = (
             M, E, use_dense, iters,
             cfg.cg_iterations, cfg.cg_tolerance, cfg.cg_restarts,
-            self.dtype,
+            cfg.convergence_delta, self.dtype,
             None if self.mesh is None else (self.mesh, self.mesh_axis),
             None if schur_part is None else tuple(
                 a.shape for a in jax.tree_util.tree_leaves(schur_part)
@@ -755,6 +779,7 @@ class PoseGraphSolver:
                     iters=iters, cg_iterations=cfg.cg_iterations,
                     cg_tolerance=cfg.cg_tolerance, psum_axis=ax,
                     cg_restarts=cfg.cg_restarts, schur_part=None,
+                    convergence_delta=cfg.convergence_delta,
                 )
                 self._lm_cache[key] = jax.jit(
                     jax.shard_map(
@@ -772,6 +797,7 @@ class PoseGraphSolver:
                         iters=iters, cg_iterations=cfg.cg_iterations,
                         cg_tolerance=cfg.cg_tolerance,
                         cg_restarts=cfg.cg_restarts,
+                        convergence_delta=cfg.convergence_delta,
                     )
                 )
         if self.mesh is not None:
@@ -878,7 +904,8 @@ class PoseGraphSolver:
             jnp.asarray(poses_padded, jnp.float32), *consts)
         out = fused_cr_lm(
             pT8, slots_d, jnp.float32(cfg.initial_lambda),
-            W=spec.W, K=spec.K, iters=iters, sq_min_delta=1e-8)
+            W=spec.W, K=spec.K, iters=iters,
+            sq_min_delta=_sq_min_delta(cfg.convergence_delta, jnp.float32))
         return DirectPendingSolve(self, out, spec, self.num_nodes)
 
     def clear(self) -> None:
