@@ -140,15 +140,19 @@ def bench_karto():
     scans = make_scan(seq.ranges, cfg.scan, stamp=seq.stamps.astype(np.float32))
 
     res = offline_slam(scans, cfg, odom=odom)  # warm (compiles)
-    # best-of-2: tunnel dispatch throughput fluctuates run-to-run (round-3
-    # isolated runs of this mission spanned 528-1030 scans/s)
-    dt = float("inf")
-    for _ in range(2):
+    # median-of-3 with the spread recorded: tunnel dispatch throughput
+    # fluctuates run-to-run (round-3 isolated runs of this mission spanned
+    # 528-1030 scans/s); a one-sided best-of-N would drift the
+    # round-over-round comparison
+    dts = []
+    for _ in range(3):
         t0 = time.perf_counter()
         res = offline_slam(scans, cfg, odom=odom)
-        dt = min(dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
+    spread = (len(traj) / max(dts), len(traj) / min(dts))
     ate = float(ate_rmse(res.poses, seq.gt_poses))
-    return len(traj) / dt, ate
+    return len(traj) / dt, ate, spread
 
 
 def main():
@@ -164,8 +168,10 @@ def main():
     except Exception as e:  # never let an extra break the primary metric
         extra["pose_graph_solve_ms_error"] = repr(e)[:120]
     try:
-        ksps, ate = bench_karto()
-        extra["karto_scans_per_sec"] = round(ksps, 1)
+        ksps, ate, spread = bench_karto()
+        extra["karto_scans_per_sec"] = round(ksps, 1)  # median of 3
+        extra["karto_scans_per_sec_min"] = round(spread[0], 1)
+        extra["karto_scans_per_sec_max"] = round(spread[1], 1)
         extra["karto_ate_m"] = round(ate, 4)
     except Exception as e:
         extra["karto_error"] = repr(e)[:120]

@@ -22,6 +22,7 @@
 #include <open_karto/Mapper.h>
 #undef private
 
+#include <cstdio>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -259,7 +260,23 @@ int km_process(void *hv, const double *readings, int n, double ox, double oy, do
 {
     Harness *h = static_cast<Harness *>(hv);
     LocalizedRangeScan *scan = make_scan(h, readings, n, ox, oy, oth);
-    bool ok = h->mapper->Process(scan);
+    bool ok;
+    try
+    {
+        ok = h->mapper->Process(scan);
+    }
+    catch (Exception &e)
+    {
+        // Surface the reference's own failure instead of letting the
+        // exception escape the C boundary as terminate(): the caller
+        // (tests/golden/ref_karto.py) raises with the message, so the
+        // golden suite reports WHAT the reference rejected rather than
+        // silently skipping on an opaque abort.
+        std::fprintf(stderr, "karto::Exception in Mapper::Process: %s\n",
+                     e.GetErrorMessage().c_str());
+        delete scan;
+        return -2;
+    }
     if (ok)
         h->processed.push_back(scan);
     else

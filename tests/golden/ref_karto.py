@@ -222,13 +222,19 @@ class RefMapper:
     def process(self, ranges: np.ndarray, odom_pose) -> bool:
         r = np.ascontiguousarray(ranges, np.float64)
         assert r.shape == (self.n_beams,)
-        return bool(
-            self.lib.km_process(
-                self._h, r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                self.n_beams,
-                float(odom_pose[0]), float(odom_pose[1]), float(odom_pose[2]),
-            )
+        rc = self.lib.km_process(
+            self._h, r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.n_beams,
+            float(odom_pose[0]), float(odom_pose[1]), float(odom_pose[2]),
         )
+        if rc < 0:
+            # the harness caught a karto::Exception inside Mapper::Process
+            # (message printed to stderr by km_process)
+            raise RuntimeError(
+                "reference Mapper::Process threw karto::Exception "
+                "(see stderr for the reference's message)"
+            )
+        return bool(rc)
 
     def poses(self) -> np.ndarray:
         n = self.lib.km_num_scans(self._h)

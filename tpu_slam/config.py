@@ -244,6 +244,15 @@ class SolverConfig:
     # 404 ms/solve on the 984-scan mission) — CG stays the default.
     use_schur: bool = False
     schur_submaps: int = 32
+    # exact fallback for large graphs the banded CR kernel rejects
+    # (bandwidth breaks under RCM — e.g. the offline outdoor graph with
+    # multi-stride skip edges): run the LM with the DIRECT Schur
+    # factorization in float64. Measured on the 6,114-node outdoor
+    # graph (BENCHMARKS round 4): f32 CG 1.19 m ATE, f32 Schur 1.12,
+    # f64 CG 1.16 (CG is algorithmically inadequate at chain condition
+    # numbers ~1e6) — f64 Schur 0.651, matching the f64 host oracle
+    # exactly, at 1.7 s per warm solve on v5e. 0 disables.
+    f64_schur_above: int = 3000
     # whole-doSPA fused Pallas kernel (solver/pallas_lm.py): single-device
     # f32 solves on TPU below the VMEM one-hot cap run the entire LM loop
     # in one launch. Shipped at HIGHEST precision: 111 ms on the
@@ -311,6 +320,21 @@ class OfflineConfig:
     pcm_chi2: float = 9.0  # pairwise consistency gate
     pcm_drift_inflation: float = 4.0  # x chain variance (correlated drift)
     rounds: int = 2  # detect→match→solve passes (round 2 sees corrected poses)
+    # chain stiffening: multi-stride skip edges (new vs reference). The
+    # consecutive PL-ICP chain accumulates per-step bias+noise over the
+    # whole mission, and loop closures only pin the few revisited places —
+    # between anchors the chain sags by the accumulated drift (measured
+    # 1.35 m ATE on the 6k-scan outdoor mission). Matching scan t directly
+    # against t+s shortcuts s steps of accumulation, so the sag drops
+    # ~s-fold and the pose-graph diameter shrinks by the largest stride
+    # (which also conditions the CG solve). Strides are matched in ONE
+    # extra batched device call with chain-predicted guesses.
+    skip_strides: tuple = (8, 32, 128)
+    # acceptance: deviation of the refined transform from the chain
+    # prediction (a genuine skip match lands within local drift scale;
+    # corridor-slide aliases walk off)
+    skip_dev_xy: float = 0.5  # m
+    skip_dev_theta: float = math.radians(10.0)
 
 
 @dataclasses.dataclass(frozen=True)

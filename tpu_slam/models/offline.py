@@ -351,6 +351,57 @@ def offline_slam(
             np.float64,
         )
 
+    # 2b. multi-stride skip edges: chain stiffening ----------------------
+    # (see OfflineConfig.skip_strides) — match t against t+s directly so
+    # per-step PL-ICP drift stops accumulating linearly between loop
+    # anchors; ONE batched call over all strides, guesses predicted from
+    # the integrated chain (local drift over <=max stride is well inside
+    # the PL-ICP basin)
+    skip_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+    skip_pairs_i: list[np.ndarray] = []
+    for s in ocfg.skip_strides:
+        if 1 < s < T:
+            ii = np.arange(0, T - s, s, dtype=np.int64)
+            skip_pairs_i.append(np.stack([ii, ii + s], axis=-1))
+    if skip_pairs_i:
+        sp = np.concatenate(skip_pairs_i)
+        si, sj = sp[:, 0], sp[:, 1]
+        Bs = len(si)
+        Bsp = _bucket(Bs)
+        sguess = gnp.relative(chain_poses[si], chain_poses[sj]).astype(
+            np.float32
+        )
+
+        def pads(a):
+            out = np.zeros((Bsp,) + a.shape[1:], a.dtype)
+            out[:Bs] = a
+            return jnp.asarray(out)
+
+        with timer.stage("skip_match"):
+            sres = match(
+                pads(pts[sj]), pads(valid[sj]),
+                pads(pts[si]), pads(valid[si]),
+                pads(sguess),
+            )
+            srels = np.asarray(sres.pose, np.float64)[:Bs]
+        scovs = np.asarray(sres.covariance, np.float64)[:Bs] + floor
+        serrs = np.asarray(sres.error, np.float64)[:Bs]
+        sinl = np.asarray(sres.num_inliers, np.float64)[:Bs]
+        sfrac = sinl / np.maximum(
+            valid[sj].sum(axis=-1).astype(np.float64), 1.0
+        )
+        sdev = srels - sguess.astype(np.float64)
+        sdev_th = np.arctan2(np.sin(sdev[:, 2]), np.cos(sdev[:, 2]))
+        s_ok = (
+            (sfrac >= ocfg.min_inlier_frac)
+            & np.isfinite(serrs)
+            & (serrs <= err_gate)
+            & (np.linalg.norm(sdev[:, :2], axis=-1) <= ocfg.skip_dev_xy)
+            & (np.abs(sdev_th) <= ocfg.skip_dev_theta)
+        )
+        for k in np.nonzero(s_ok)[0]:
+            skip_edges.append((int(si[k]), int(sj[k]), srels[k], scovs[k]))
+
     def _build_solver(
         loop_edges: list[LoopEdge], init_poses: np.ndarray
     ) -> PoseGraphSolver:
@@ -367,6 +418,8 @@ def offline_slam(
             s.add_constraint(
                 k, k + 1, chain_rels[k], covariance=chain_covs[k]
             )
+        for i, j, m, c in skip_edges:
+            s.add_constraint(i, j, m, covariance=c)
         for e in loop_edges:
             s.add_constraint(e.i, e.j, e.mean, covariance=e.covariance)
         return s

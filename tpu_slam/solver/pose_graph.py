@@ -98,6 +98,27 @@ def graph_cost(poses, ei, ej, means, infos, mask):
     return jnp.sum(w * jnp.einsum("ea,eab,eb->e", r, infos, r))
 
 
+def inv3x3(A):
+    """Closed-form batched 3×3 inverse (adjugate / determinant).
+
+    XLA's LuDecomposition — what jnp.linalg.inv lowers to for batched
+    small matrices — is only implemented for f32 on TPU; the closed form
+    works at any dtype (needed for the f64 high-accuracy solver path) and
+    is faster than LU for 3×3 blocks anyway."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / det
+    row0 = jnp.stack([co_a, -(b * i - c * h), b * f - c * e], -1)
+    row1 = jnp.stack([co_b, a * i - c * g, -(a * f - c * d)], -1)
+    row2 = jnp.stack([co_c, -(a * h - b * g), a * e - b * d], -1)
+    return jnp.stack([row0, row1, row2], -2) * inv_det[..., None, None]
+
+
 # --- transposed (edges-along-lanes) forms -----------------------------------
 # The (E,3,3)/(M,3) block layouts above put 3 in the lane dimension — every
 # batched-tiny-matmul einsum and scatter runs at ~2% lane utilization, and
@@ -326,7 +347,7 @@ def cg_solve(Hd, Hij, ei, ej, b, lam, free_mask, iters, tol,
     Hdd = Hdd.at[:, jnp.arange(3), jnp.arange(3)].mul(1.0 + lam)
     fm = free_mask.astype(dt)
     Hdd_solve = Hdd * fm[:, None, None] + (1.0 - fm)[:, None, None] * eye3
-    Minv = jnp.linalg.inv(Hdd_solve)
+    Minv = inv3x3(Hdd_solve)  # closed form: works at f64 on TPU (no LU)
 
     bb = -b * fm[:, None]
     x0 = jnp.zeros_like(bb)
@@ -669,6 +690,20 @@ class PoseGraphSolver:
         free = np.zeros(M, bool)
         free[1 : self.num_nodes] = True  # node 0 gauge-fixed (nFixed=1)
 
+        # exact f64 Schur fallback (cfg.f64_schur_above): the graphs the
+        # banded CR kernel rejects (RCM bandwidth too large — multi-stride
+        # skip/anchor edges) are exactly the ones where f32 CG is
+        # algorithmically inadequate (chain condition ~1e6: measured
+        # 1.19 m ATE vs the 0.651 f64 oracle on the 6k outdoor graph,
+        # BENCHMARKS round 4). The direct Schur factorization in f64
+        # reproduces the oracle exactly at ~1.7 s/solve on v5e.
+        if (self.mesh is None and self.dtype == jnp.float32
+                and cfg.f64_schur_above > 0
+                and self.num_nodes >= cfg.f64_schur_above):
+            return self._compute_f64_schur(
+                iters, poses, ei, ej, means, infos, mask, free, M, E
+            )
+
         jd = functools.partial(jnp.asarray, dtype=self.dtype)
         poses_d = jd(poses)
         ei_d, ej_d = jnp.asarray(ei), jnp.asarray(ej)
@@ -829,6 +864,58 @@ class PoseGraphSolver:
             arrays = self._lm_cache[key](
                 poses_d, jnp.asarray(cfg.initial_lambda, self.dtype),
                 ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
+            )
+        return PendingSolve(self, arrays, self.num_nodes)
+
+    def _compute_f64_schur(
+        self, iters, poses, ei, ej, means, infos, mask, free, M, E
+    ) -> "PendingSolve":
+        """Exact large-graph fallback: the full LM while_loop with the
+        direct Schur-complement step (solver/schur.py), run in float64.
+
+        Everything — array upload, (re)trace and dispatch — happens under
+        jax.enable_x64: jax caches compiled programs per config state, so
+        a call outside the scope would silently retrace at f32."""
+        import contextlib
+        import hashlib
+
+        cfg = self.cfg
+        from tpu_slam.solver.schur import bucket_partition, build_partition
+
+        hk = hashlib.blake2b(digest_size=16)
+        hk.update(ei.tobytes())
+        hk.update(ej.tobytes())
+        hk.update(mask.tobytes())
+        pkey = (M, cfg.schur_submaps, hk.digest())
+        schur_part = _SCHUR_PART_CACHE.get(pkey)
+        if schur_part is None:
+            schur_part = bucket_partition(
+                build_partition(ei, ej, mask, M, cfg.schur_submaps)
+            )
+            if len(_SCHUR_PART_CACHE) > 64:
+                _SCHUR_PART_CACHE.clear()
+            _SCHUR_PART_CACHE[pkey] = schur_part
+
+        key = (
+            "f64schur", M, E, iters, cfg.convergence_delta,
+            tuple(a.shape for a in jax.tree_util.tree_leaves(schur_part)),
+        )
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(jax.enable_x64(True))
+            if key not in self._lm_cache:
+                self._lm_cache[key] = jax.jit(
+                    functools.partial(
+                        _lm_loop_program, M=M, use_dense=False,
+                        iters=iters, cg_iterations=cfg.cg_iterations,
+                        cg_tolerance=cfg.cg_tolerance, cg_restarts=1,
+                        convergence_delta=cfg.convergence_delta,
+                    )
+                )
+            jd = functools.partial(jnp.asarray, dtype=jnp.float64)
+            arrays = self._lm_cache[key](
+                jd(poses), jnp.asarray(cfg.initial_lambda, jnp.float64),
+                jnp.asarray(ei), jnp.asarray(ej), jd(means), jd(infos),
+                jnp.asarray(mask), jnp.asarray(free), schur_part,
             )
         return PendingSolve(self, arrays, self.num_nodes)
 
