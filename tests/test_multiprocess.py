@@ -26,6 +26,43 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.timeout(900)
+@pytest.mark.slow
+def test_two_process_karto_mission():
+    """The FULL KartoSLAM pipeline across 2 OS processes (mesh-sharded
+    ring loop search + distributed LM back-end) must reproduce the
+    single-device mission — the multi-host front-end of SURVEY §5
+    (round-4 VERDICT item 4; round 3 raised NotImplementedError here)."""
+    port = _free_port()
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_DIR, "mp_karto_worker.py"),
+             str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=850)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"process {i} failed (rc {p.returncode}):\n{out[-3000:]}"
+        )
+        assert f"proc {i}: KARTO OK" in out
+
+
 @pytest.mark.timeout(300)
 @pytest.mark.slow
 def test_two_process_distributed_lm():

@@ -335,6 +335,30 @@ class OfflineConfig:
     # corridor-slide aliases walk off)
     skip_dev_xy: float = 0.5  # m
     skip_dev_theta: float = math.radians(10.0)
+    # correlative re-anchoring sweep: the offline analogue of the online
+    # front-end's scan-to-map correlative matching (Mapper.cpp:184-291).
+    # PL-ICP carries a small geometry-correlated bias that warps the map
+    # (measured ±1 m over the 512 m outdoor route — skip edges can't fix
+    # it because they share the bias); the correlative grid matcher is
+    # unbiased, so matching every anchor_step-th scan against a submap of
+    # its recent past (posed at current estimates) straightens the warp.
+    # Anchors are independent given the current poses — batched
+    # anchor_lanes per device program, all programs in flight before one
+    # fetch pass (CorrelativeMatcher.match_anchors_store_async).
+    use_anchor: bool = True
+    # engage only at the mission scale where chain warp (bias × path
+    # length) exceeds the correlative grid's ~1 cm quantization noise:
+    # measured on the 704-scan indoor corridor anchors COST 9 mm ATE
+    # (0.015→0.025) while on the 6,114-scan outdoor route they remove a
+    # ±1 m warp (BENCHMARKS round 4)
+    anchor_min_scans: int = 2000
+    anchor_step: int = 8  # anchor every k-th scan
+    anchor_span: int = 72  # base submap reaches this many scans back
+    anchor_gap: int = 8  # nearest base scan (the edge's reference node)
+    anchor_scans: int = 16  # base scans per submap (subsampled from span)
+    anchor_lanes: int = 8  # anchors per device dispatch
+    anchor_min_response: float = 0.5
+    anchor_rounds: int = 2  # match → solve passes
 
 
 @dataclasses.dataclass(frozen=True)

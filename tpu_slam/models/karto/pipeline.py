@@ -824,15 +824,6 @@ class KartoSLAM:
 
         from tpu_slam.parallel.loop_search import make_ring_loop_search
 
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "KartoSLAM(mesh=...) ring loop search needs a "
-                "single-process mesh: the sharded (Q, K) distance output "
-                "is not fully addressable across processes. Run the "
-                "pipeline per host and use the multi-process "
-                "PoseGraphSolver (solver/pose_graph.py) for the "
-                "distributed solve."
-            )
         if self._ring_search is None:
             self._ring_search = make_ring_loop_search(self.mesh)
         # the ring pass shards over the 'data' axis only — K must tile
@@ -852,6 +843,30 @@ class KartoSLAM:
         q = np.broadcast_to(
             np.asarray(query, np.float32), (D, 2)
         ).copy()  # Q must tile the mesh axis; every device asks the same q
+        if jax.process_count() > 1:
+            # multi-host mesh (SURVEY §5: keyframe store sharded across
+            # hosts): host-local numpy can't auto-shard onto
+            # non-addressable devices — build global arrays from
+            # per-process shards (every process holds identical data,
+            # exactly the PoseGraphSolver multi-process pattern). The
+            # output (Q, K) is sharded over Q, but every Q row carries
+            # the SAME query, so each process's first addressable shard
+            # already holds a complete distance row — no collective or
+            # cross-host fetch needed for the harvest.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = "data"
+
+            def mk(x):
+                x = np.asarray(x)
+                return jax.make_array_from_callback(
+                    x.shape, NamedSharding(self.mesh, P(axis)),
+                    lambda idx: x[idx],
+                )
+
+            out = self._ring_search(mk(q), mk(kf))
+            d2 = np.asarray(out.addressable_shards[0].data)
+            return d2[0, :n].astype(np.float64)
         d2 = np.asarray(self._ring_search(q, kf))
         return d2[0, :n].astype(np.float64)
 

@@ -402,6 +402,8 @@ def offline_slam(
         for k in np.nonzero(s_ok)[0]:
             skip_edges.append((int(si[k]), int(sj[k]), srels[k], scovs[k]))
 
+    anchor_edges: dict[int, tuple[int, int, np.ndarray, np.ndarray]] = {}
+
     def _build_solver(
         loop_edges: list[LoopEdge], init_poses: np.ndarray
     ) -> PoseGraphSolver:
@@ -419,6 +421,8 @@ def offline_slam(
                 k, k + 1, chain_rels[k], covariance=chain_covs[k]
             )
         for i, j, m, c in skip_edges:
+            s.add_constraint(i, j, m, covariance=c)
+        for i, j, m, c in anchor_edges.values():
             s.add_constraint(i, j, m, covariance=c)
         for e in loop_edges:
             s.add_constraint(e.i, e.j, e.mean, covariance=e.covariance)
@@ -532,6 +536,91 @@ def offline_slam(
             solver = _build_solver(loops, poses)
             solver.compute()
             poses = solver.get_poses()
+
+    # 7. correlative re-anchoring sweep (see OfflineConfig.use_anchor) ----
+    # every anchor scan re-matched against a submap of its recent past at
+    # the CURRENT estimates with the (unbiased) correlative grid matcher;
+    # accepted matches become relative edges to the submap's nearest scan,
+    # replacing the PL-ICP chain's geometry-correlated warp.
+    if (ocfg.use_anchor and T >= ocfg.anchor_min_scans
+            and T > ocfg.anchor_span + ocfg.anchor_step):
+        from tpu_slam.ops.correlative import (
+            CorrelativeMatcher, CorrelativeParams,
+        )
+
+        c = cfg.correlative
+        anchor_matcher = CorrelativeMatcher(
+            CorrelativeParams(
+                search_size=c.correlation_search_space_dimension,
+                resolution=c.correlation_search_space_resolution,
+                smear_deviation=c.correlation_search_space_smear_deviation,
+                range_threshold=cfg.scan.range_threshold,
+                angle_offset=c.coarse_search_angle_offset,
+                angle_res=c.coarse_angle_resolution,
+                fine_angle_offset=c.fine_search_angle_offset,
+                distance_variance_penalty=c.distance_variance_penalty,
+                angle_variance_penalty=c.angle_variance_penalty,
+                minimum_distance_penalty=c.minimum_distance_penalty,
+                minimum_angle_penalty=c.minimum_angle_penalty,
+            ),
+            use_response_expansion=False,
+        )
+        # immutable laser-frame points upload ONCE; every anchor group
+        # addresses them by row index
+        store_pts = jnp.asarray(pts)
+        store_valid = jnp.asarray(valid)
+        S = ocfg.anchor_scans
+        C = ocfg.anchor_lanes
+        anchors = np.arange(ocfg.anchor_span, T, ocfg.anchor_step)
+        for arnd in range(ocfg.anchor_rounds):
+            with timer.stage("anchor_match"):
+                outs = []
+                for g0 in range(0, len(anchors), C):
+                    lane_ts = anchors[g0 : g0 + C]
+                    ci = np.full((C, S), -1.0, np.float32)
+                    bp = np.zeros((C, S, 3), np.float32)
+                    qi = np.zeros(C, np.float32)
+                    qp = np.zeros((C, 3), np.float32)
+                    for lane, t in enumerate(lane_ts):
+                        base = np.unique(
+                            np.linspace(
+                                t - ocfg.anchor_span, t - ocfg.anchor_gap,
+                                S,
+                            ).round().astype(np.int64)
+                        )
+                        ci[lane, : len(base)] = base
+                        bp[lane, : len(base)] = poses[base]
+                        qi[lane] = t
+                        qp[lane] = poses[t]
+                    outs.append(
+                        (
+                            lane_ts,
+                            anchor_matcher.match_anchors_store_async(
+                                store_pts, store_valid, ci, bp, qi, qp
+                            ),
+                        )
+                    )
+                # every program is in flight — ONE fetch pass
+                for lane_ts, out in outs:
+                    o = np.asarray(out)
+                    for lane, t in enumerate(lane_ts):
+                        if o[lane, 3] < ocfg.anchor_min_response:
+                            continue
+                        ref = int(t - ocfg.anchor_gap)
+                        mean = gnp.relative(
+                            poses[ref], o[lane, :3].astype(np.float64)
+                        )
+                        cov = (
+                            o[lane, 4:13].reshape(3, 3).astype(np.float64)
+                            + floor
+                        )
+                        anchor_edges[int(t)] = (ref, int(t), mean, cov)
+            if not anchor_edges:
+                break
+            with timer.stage("solve"):
+                solver = _build_solver(loops, poses)
+                solver.compute()
+                poses = solver.get_poses()
 
     return OfflineResult(
         poses=poses,

@@ -874,6 +874,98 @@ class CorrelativeMatcher:
             self._full_cache[key] = jax.jit(packed)
         return self._full_cache[key]
 
+    def _full_anchor_store(
+        self, n_lanes: int, n_scans: int,
+        cap: tuple,  # (store rows, store beam count)
+        do_penalize: bool, do_fine: bool,
+    ):
+        """Multi-QUERY variant of _full_chains_store: each lane matches its
+        OWN query scan (a store row) against its own base-scan set. Built
+        for the offline anchor sweep (models/offline.py): hundreds of
+        independent scan-to-submap re-anchoring matches batched C lanes per
+        dispatch, with only indices + poses crossing the link.
+
+        buf layout per call: [base_poses (C,S,3) | base idx (C,S) |
+        query idx (C,) | query poses (C,3)] — flat f32."""
+        C, S = n_lanes, n_scans
+        N = cap[1]  # query beams come from the same store
+        key = ("anchor_store", C, S, cap, do_penalize, do_fine)
+        if key not in self._full_cache:
+            budget = max(2_000_000, 64_000_000 // n_lanes)
+            core = self._match_fn(
+                self.p.angle_offset, do_penalize, do_fine,
+                element_budget=budget,
+            )
+
+            def one(store_pts, store_valid, base_poses, idx, member,
+                    qi, pose):
+                bp = store_pts[idx]  # (S, N, 2)
+                bv = store_valid[idx] & member[:, None]
+                wp = geo.apply(base_poses[:, None, :], bp)
+                keep = jax.vmap(find_valid_points, in_axes=(0, 0, None))(
+                    wp, bv, pose[:2]
+                )
+                r = core(
+                    wp.reshape(-1, 2), keep.reshape(-1),
+                    store_pts[qi], store_valid[qi], pose,
+                )
+                return jnp.concatenate(
+                    [r.pose, r.response[None], r.covariance.reshape(9)]
+                )
+
+            def packed(store_pts, store_valid, buf):
+                o = 0
+                poses = buf[o : o + C * S * 3].reshape(C, S, 3)
+                o += C * S * 3
+                idxf = buf[o : o + C * S].reshape(C, S)
+                o += C * S
+                qif = buf[o : o + C]
+                o += C
+                qposes = buf[o : o + C * 3].reshape(C, 3)
+                member = idxf >= -0.5  # padded members carry idx −1
+                idx = jnp.clip(idxf.astype(jnp.int32), 0, cap[0] - 1)
+                qi = jnp.clip(qif.astype(jnp.int32), 0, cap[0] - 1)
+                # unrolled over lanes: the Pallas response kernel uses
+                # scalar prefetch, which cannot sit under vmap
+                return jnp.stack(
+                    [
+                        one(store_pts, store_valid, poses[k], idx[k],
+                            member[k], qi[k], qposes[k])
+                        for k in range(C)
+                    ]
+                )
+
+            self._full_cache[key] = jax.jit(packed)
+        return self._full_cache[key]
+
+    def match_anchors_store_async(
+        self,
+        store_pts,  # (cap, N, 2) device-resident laser points
+        store_valid,  # (cap, N)
+        chain_idx: np.ndarray,  # (C, S) store rows; −1 = padded member
+        base_poses: np.ndarray,  # (C, S, 3) current sensor poses
+        query_idx: np.ndarray,  # (C,) store row of each lane's query scan
+        query_poses: np.ndarray,  # (C, 3) search-center pose per lane
+        do_penalize: bool = True,
+        do_fine: bool = True,
+    ):
+        """Dispatch one C-lane anchor group; returns the raw (C, 13) device
+        array (pose | response | cov). Callers queue many groups and fetch
+        once — each synchronous fetch costs a tunnel RTT."""
+        C, S = (int(d) for d in np.shape(chain_idx))
+        cap = (int(store_pts.shape[0]), int(store_pts.shape[1]))
+        buf = np.concatenate(
+            [
+                np.asarray(base_poses, np.float32).ravel(),
+                np.asarray(chain_idx, np.float32).ravel(),
+                np.asarray(query_idx, np.float32).ravel(),
+                np.asarray(query_poses, np.float32).ravel(),
+            ]
+        )
+        return self._full_anchor_store(C, S, cap, do_penalize, do_fine)(
+            store_pts, store_valid, buf
+        )
+
     def match_chains_store(
         self,
         store_pts: jax.Array,  # (cap, N, 2) device-resident laser points
