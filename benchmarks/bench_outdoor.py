@@ -150,6 +150,7 @@ def main():
               + timer.report().replace("\n", "\n  "), file=sys.stderr)
         print(
             f"outdoor_offline scans={len(traj)} loops={len(res.loops)} "
+            f"anchors={res.anchors_accepted}/{res.anchors_tried} "
             f"wall_s={wall:.1f} scans_per_sec={len(traj) / wall:.1f} "
             f"ate_odom_m={ate_o:.3f} ate_slam_m={ate_s:.3f}"
         )

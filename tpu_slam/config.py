@@ -358,7 +358,20 @@ class OfflineConfig:
     anchor_scans: int = 16  # base scans per submap (subsampled from span)
     anchor_lanes: int = 8  # anchors per device dispatch
     anchor_min_response: float = 0.5
-    anchor_rounds: int = 2  # match → solve passes
+    anchor_rounds: int = 1  # sweeps per macro pass (the offline macro
+    # schedule alternates loop detection and anchor sweeps anyway)
+    # long-lever anchor level: the short span can only see warp gradients
+    # above resolution/span (0.01 m / 6.5 m ≈ 1.5e-3 m/m — the measured
+    # outdoor warp is right AT that limit, so half the short anchors
+    # return their own search center). A second sweep at 8× the span and
+    # 2× the grid pitch sees gradients 4× below the warp signal and
+    # straightens the macro shape; the short level then polishes locally.
+    use_anchor_long: bool = True
+    anchor_long_span: int = 512
+    anchor_long_step: int = 32
+    anchor_long_search: float = 1.6  # m window (covers inter-sweep drift)
+    anchor_long_resolution: float = 0.02
+    anchor_long_smear: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

@@ -73,6 +73,8 @@ class OfflineResult:
     solver: PoseGraphSolver
     candidates_tried: int
     timer: object = None  # StageTimer, when requested
+    anchors_accepted: int = 0  # correlative re-anchor edges in the graph
+    anchors_tried: int = 0
 
 
 def _bucket(n: int, lo: int = 64) -> int:
@@ -436,13 +438,26 @@ def offline_slam(
     loops: list[LoopEdge] = []  # the consistent set fed to the solver
     tried: set[tuple[int, int]] = set()
 
-    for rnd in range(ocfg.rounds):
+    def _loop_rounds():
+        # 3.-6. loop detect → match → PCM → solve, repeated ocfg.rounds
+        # times (round 2 sees corrected poses). Called again after the
+        # anchor sweep: candidates are gathered within loop_radius of the
+        # CURRENT estimates, and on long missions the pre-anchor warp can
+        # exceed that radius — the 2-lap outdoor route found 14 loops from
+        # warped poses vs 42+ once anchors straightened them (round 4).
+        nonlocal poses, solver, loops
+        for rnd in range(ocfg.rounds):
+            if not _loop_round(rnd):
+                break
+
+    def _loop_round(rnd: int) -> bool:
+        nonlocal poses, solver, loops
         # 3. candidates from current pose estimates ----------------------
         with timer.stage("candidates"):
             cands = _loop_candidates(poses, ocfg, tried)
         tried.update(cands)
         if not cands:
-            break
+            return False
         C = len(cands)
 
         # 4. multi-start batched loop matching ---------------------------
@@ -517,7 +532,7 @@ def offline_slam(
             )
             new_edges += 1
         if new_edges == 0:
-            break
+            return False
 
         # 5b. pairwise-consistency selection over ALL edges so far --------
         if ocfg.use_pcm:
@@ -529,64 +544,101 @@ def offline_slam(
         else:
             loops = list(candidates_all)
         if not loops:
-            break
+            return False
 
         # 6. global solve (device-resident LM) ----------------------------
         with timer.stage("solve"):
             solver = _build_solver(loops, poses)
             solver.compute()
             poses = solver.get_poses()
+        return True
 
     # 7. correlative re-anchoring sweep (see OfflineConfig.use_anchor) ----
     # every anchor scan re-matched against a submap of its recent past at
     # the CURRENT estimates with the (unbiased) correlative grid matcher;
-    # accepted matches become relative edges to the submap's nearest scan,
-    # replacing the PL-ICP chain's geometry-correlated warp.
-    if (ocfg.use_anchor and T >= ocfg.anchor_min_scans
-            and T > ocfg.anchor_span + ocfg.anchor_step):
+    # accepted matches become relative edges against the FAR end of the
+    # submap, replacing the PL-ICP chain's geometry-correlated warp.
+    anchors_tried = 0
+    anchor_on = (ocfg.use_anchor and T >= ocfg.anchor_min_scans
+                 and T > ocfg.anchor_span + ocfg.anchor_step)
+    if anchor_on:
         from tpu_slam.ops.correlative import (
             CorrelativeMatcher, CorrelativeParams,
         )
 
         c = cfg.correlative
-        anchor_matcher = CorrelativeMatcher(
-            CorrelativeParams(
-                search_size=c.correlation_search_space_dimension,
-                resolution=c.correlation_search_space_resolution,
-                smear_deviation=c.correlation_search_space_smear_deviation,
-                range_threshold=cfg.scan.range_threshold,
-                angle_offset=c.coarse_search_angle_offset,
-                angle_res=c.coarse_angle_resolution,
-                fine_angle_offset=c.fine_search_angle_offset,
-                distance_variance_penalty=c.distance_variance_penalty,
-                angle_variance_penalty=c.angle_variance_penalty,
-                minimum_distance_penalty=c.minimum_distance_penalty,
-                minimum_angle_penalty=c.minimum_angle_penalty,
-            ),
-            use_response_expansion=False,
-        )
+
+        def _mk_matcher(search, res, smear):
+            return CorrelativeMatcher(
+                CorrelativeParams(
+                    search_size=search,
+                    resolution=res,
+                    smear_deviation=smear,
+                    range_threshold=cfg.scan.range_threshold,
+                    angle_offset=c.coarse_search_angle_offset,
+                    angle_res=c.coarse_angle_resolution,
+                    fine_angle_offset=c.fine_search_angle_offset,
+                    distance_variance_penalty=c.distance_variance_penalty,
+                    angle_variance_penalty=c.angle_variance_penalty,
+                    minimum_distance_penalty=c.minimum_distance_penalty,
+                    minimum_angle_penalty=c.minimum_angle_penalty,
+                ),
+                use_response_expansion=False,
+            )
+
+        # level 0 = short/fine (the front-end window); level 1 = long
+        # lever at coarser pitch (see OfflineConfig.use_anchor_long)
+        anchor_levels = [
+            (
+                0,
+                _mk_matcher(
+                    c.correlation_search_space_dimension,
+                    c.correlation_search_space_resolution,
+                    c.correlation_search_space_smear_deviation,
+                ),
+                ocfg.anchor_span, ocfg.anchor_gap, ocfg.anchor_step,
+            )
+        ]
+        if (ocfg.use_anchor_long
+                and T > ocfg.anchor_long_span + ocfg.anchor_long_step):
+            anchor_levels.insert(
+                0,  # long level sweeps FIRST: macro shape, then polish
+                (
+                    1,
+                    _mk_matcher(
+                        ocfg.anchor_long_search,
+                        ocfg.anchor_long_resolution,
+                        ocfg.anchor_long_smear,
+                    ),
+                    ocfg.anchor_long_span, ocfg.anchor_long_step,
+                    ocfg.anchor_long_step,
+                ),
+            )
         # immutable laser-frame points upload ONCE; every anchor group
         # addresses them by row index
         store_pts = jnp.asarray(pts)
         store_valid = jnp.asarray(valid)
-        S = ocfg.anchor_scans
+
+    def _anchor_sweep() -> bool:
+        nonlocal poses, solver, anchors_tried
+        Sa = ocfg.anchor_scans
         C = ocfg.anchor_lanes
-        anchors = np.arange(ocfg.anchor_span, T, ocfg.anchor_step)
-        for arnd in range(ocfg.anchor_rounds):
+        any_edges = False
+        for level, matcher, span, gap, step in anchor_levels:
+            anchors = np.arange(span, T, step)
+            anchors_tried += len(anchors)
             with timer.stage("anchor_match"):
                 outs = []
                 for g0 in range(0, len(anchors), C):
                     lane_ts = anchors[g0 : g0 + C]
-                    ci = np.full((C, S), -1.0, np.float32)
-                    bp = np.zeros((C, S, 3), np.float32)
+                    ci = np.full((C, Sa), -1.0, np.float32)
+                    bp = np.zeros((C, Sa, 3), np.float32)
                     qi = np.zeros(C, np.float32)
                     qp = np.zeros((C, 3), np.float32)
                     for lane, t in enumerate(lane_ts):
                         base = np.unique(
-                            np.linspace(
-                                t - ocfg.anchor_span, t - ocfg.anchor_gap,
-                                S,
-                            ).round().astype(np.int64)
+                            np.linspace(t - span, t - gap, Sa)
+                            .round().astype(np.int64)
                         )
                         ci[lane, : len(base)] = base
                         bp[lane, : len(base)] = poses[base]
@@ -595,7 +647,7 @@ def offline_slam(
                     outs.append(
                         (
                             lane_ts,
-                            anchor_matcher.match_anchors_store_async(
+                            matcher.match_anchors_store_async(
                                 store_pts, store_valid, ci, bp, qi, qp
                             ),
                         )
@@ -606,7 +658,14 @@ def offline_slam(
                     for lane, t in enumerate(lane_ts):
                         if o[lane, 3] < ocfg.anchor_min_response:
                             continue
-                        ref = int(t - ocfg.anchor_gap)
+                        # reference the FAR end of the submap: the match
+                        # pins t against the whole span, so the edge must
+                        # carry the full span lever arm — expressed
+                        # against t-gap it collapses to yet another
+                        # short-relative edge sharing the chain's
+                        # per-span weakness (measured: near-ref anchors
+                        # moved the outdoor ATE only 0.747 -> 0.737)
+                        ref = int(t - span)
                         mean = gnp.relative(
                             poses[ref], o[lane, :3].astype(np.float64)
                         )
@@ -614,13 +673,34 @@ def offline_slam(
                             o[lane, 4:13].reshape(3, 3).astype(np.float64)
                             + floor
                         )
-                        anchor_edges[int(t)] = (ref, int(t), mean, cov)
+                        anchor_edges[(level, int(t))] = (
+                            ref, int(t), mean, cov,
+                        )
             if not anchor_edges:
-                break
+                continue
+            any_edges = True
+            # solve BETWEEN levels: the long sweep's macro correction
+            # re-centers the short sweep's search windows
             with timer.stage("solve"):
                 solver = _build_solver(loops, poses)
                 solver.compute()
                 poses = solver.get_poses()
+        return any_edges
+
+    # macro schedule: loops are gathered within loop_radius of the CURRENT
+    # poses, and anchors need decent poses to seed their search windows —
+    # each pass improves the other's inputs, so alternate until neither
+    # finds anything new.
+    _loop_rounds()
+    if anchor_on:
+        for _ in range(ocfg.anchor_rounds):
+            if not _anchor_sweep():
+                break
+        else:
+            n_loops = len(loops)
+            _loop_rounds()  # re-detect from anchor-corrected poses
+            if len(loops) > n_loops:
+                _anchor_sweep()  # refresh anchors after new closures
 
     return OfflineResult(
         poses=poses,
@@ -630,4 +710,6 @@ def offline_slam(
         solver=solver,
         candidates_tried=len(tried),
         timer=timer,
+        anchors_accepted=len(anchor_edges),
+        anchors_tried=anchors_tried,
     )

@@ -58,11 +58,19 @@ def _round_up(x: int, m: int) -> int:
 def _make_kernel(
     n_beams: int, n_angles: int, n_x: int, n_y: int, stride: int,
     s_y: int, s_x: int, n_yp: int, n_xp: int, B: int,
+    grid_in_hbm: bool = False,
 ):
-    """B beams per block-diagonal matmul pair; B=1 is the plain kernel."""
+    """B beams per block-diagonal matmul pair; B=1 is the plain kernel.
+
+    grid_in_hbm: the correlation grid stays HBM-resident and each beam's
+    window arrives by explicit DMA into the win_ref scratch — required
+    once the grid exceeds the 16 MB scoped-VMEM stack (outdoor 50 m
+    range thresholds: 26-103 MB int8 grids). Below that the whole-grid
+    VMEM block is kept: window reads are plain vector loads."""
     n_groups = n_beams // B
 
-    def kernel(ys_ref, xs_ref, vld_ref, grid_ref, out_ref, acc_ref, win_ref):
+    def kernel(ys_ref, xs_ref, vld_ref, grid_ref, out_ref, acc_ref,
+               win_ref, *maybe_sem):
         # block-diagonal iotas (2-D — 1-D doesn't lower), hoisted across
         # every (angle, group) iteration. Row r belongs to beam rb = r//n_yp
         # of the group; col c of the output to beam cb = c//n_xp.
@@ -89,9 +97,20 @@ def _make_kernel(
                     v = vld_ref[i0 + b]
                     y0a = (y0 // 32) * 32
                     x0a = (x0 // 128) * 128
-                    win_ref[pl.ds(b * s_y, s_y), :] = grid_ref[
-                        pl.ds(y0a, s_y), pl.ds(x0a, s_x)
-                    ]
+                    if grid_in_hbm:
+                        cp = pltpu.make_async_copy(
+                            grid_ref.at[
+                                pl.ds(y0a, s_y), pl.ds(x0a, s_x)
+                            ],
+                            win_ref.at[pl.ds(b * s_y, s_y), :],
+                            maybe_sem[0],
+                        )
+                        cp.start()
+                        cp.wait()
+                    else:
+                        win_ref[pl.ds(b * s_y, s_y), :] = grid_ref[
+                            pl.ds(y0a, s_y), pl.ds(x0a, s_x)
+                        ]
                     remy_rows = jnp.where(
                         rb[:, :1] == b, y0 - y0a, remy_rows
                     )
@@ -154,8 +173,13 @@ def responses_sliced_pallas(
     A = angles.shape[0]
     span_x = (n_x - 1) * stride + 1
     span_y = (n_y - 1) * stride + 1
-    # window sizes covering any intra-tile remainder
-    s_y = _round_up(span_y + 32, 8)
+    # grids past the scoped-VMEM stack stay HBM-resident with per-window
+    # DMA (outdoor 50 m range thresholds); threshold leaves room for the
+    # selectors + accumulators beside a VMEM-resident grid
+    grid_in_hbm = H * W > 12_000_000
+    # window sizes covering any intra-tile remainder; HBM DMAs need
+    # 32-aligned sublane extents (int8 tile is (32, 128))
+    s_y = _round_up(span_y + 32, 32 if grid_in_hbm else 8)
     s_x = _round_up(span_x + 128, 128)
     n_yp = _round_up(n_y, 8)
     n_xp = _round_up(n_x, 128)
@@ -203,21 +227,26 @@ def responses_sliced_pallas(
     ).reshape(-1)
     vld = beam_valid.astype(jnp.float32)
 
+    scratch = [
+        pltpu.VMEM((n_yp, n_xp), jnp.float32),
+        pltpu.VMEM((B * s_y, s_x), jnp.int8),
+    ]
+    if grid_in_hbm:
+        scratch.append(pltpu.SemaphoreType.DMA)
+        grid_spec_in = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    else:
+        grid_spec_in = pl.BlockSpec((gy, gx), lambda a, *refs: (0, 0))
     out = pl.pallas_call(
-        _make_kernel(N, A, n_x, n_y, stride, s_y, s_x, n_yp, n_xp, B),
+        _make_kernel(N, A, n_x, n_y, stride, s_y, s_x, n_yp, n_xp, B,
+                     grid_in_hbm=grid_in_hbm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(1,),
-            in_specs=[
-                pl.BlockSpec((gy, gx), lambda a, *refs: (0, 0)),
-            ],
+            in_specs=[grid_spec_in],
             out_specs=pl.BlockSpec(
                 (A, n_yp, n_xp), lambda a, *refs: (0, 0, 0)
             ),
-            scratch_shapes=[
-                pltpu.VMEM((n_yp, n_xp), jnp.float32),
-                pltpu.VMEM((B * s_y, s_x), jnp.int8),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((A, n_yp, n_xp), jnp.int32),
         interpret=interpret,

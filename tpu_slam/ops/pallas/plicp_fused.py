@@ -295,10 +295,20 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
                         A = jnp.concatenate(
                             [wxc[p : p + 1], wyc[p : p + 1]], axis=0
                         )  # (2, C)
+                        # HIGHEST: Mosaic's DEFAULT matmul is single-pass
+                        # bf16 — at outdoor magnitudes (|t|~50 m, s~2500 m²)
+                        # its ~4e-3 relative rounding flips the NN argmin
+                        # and the dmin<max_d2 inlier gate (measured: median
+                        # 22-beam inlier disagreement and 7 mm pose error vs
+                        # the XLA path on the 50 m outdoor workload; exact
+                        # at HIGHEST). Indoors (|t|~10 m) the error hid
+                        # below the match noise, which is why round-1..3
+                        # parity never caught it.
                         cross = jax.lax.dot_general(
                             A, rows_s[p, 0:2, :],
                             (((0,), (0,)), ((), ())),
                             preferred_element_type=sx.dtype,
+                            precision=jax.lax.Precision.HIGHEST,
                         )  # (C, M)
                         s_ = tn_s[p][None, :] - 2.0 * cross
                         sminc = jnp.min(s_, axis=1)  # (C,)
@@ -316,9 +326,14 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
                         # column selects a single f32 value (×1.0 + zeros),
                         # so the gather is bit-exact.
                         onehotT = (miota == idx[None, :]).astype(sx.dtype)
+                        # HIGHEST is correctness, not preference: DEFAULT
+                        # truncates the gathered f32 COORDINATES through
+                        # single-pass bf16 (a 50 m coordinate loses ~0.1 m),
+                        # exactly the LM kernel's round-3 finding
                         gath_s[p, :, pl.ds(off, C)] = jnp.dot(
                             rows_s[p], onehotT,
                             preferred_element_type=sx.dtype,
+                            precision=jax.lax.Precision.HIGHEST,
                         )
                 return 0
 

@@ -267,6 +267,18 @@ def _damped_diag(Hd, lam):
     return Hd.at[..., jnp.arange(3), jnp.arange(3)].mul(1.0 + lam)
 
 
+def _scatter_blocks(Aflat, bi, bj, blocks):
+    """Aflat[3·bi+r, 3·bj+c] += blocks[e, r, c] — 3×3 block scatter into a
+    FLAT (3n, 3n) matrix. The block form ((n, 3, n, 3) etc.) tiles
+    catastrophically on TPU: T(4,128) pads every trailing 3 to 128 lanes
+    (measured 56.9× HBM expansion — a 2048-separator reduced system
+    became two 8 GB broadcasts and OOM'd the chip, round 4)."""
+    r = jnp.arange(3)
+    R = 3 * bi[:, None, None] + r[None, :, None]
+    C = 3 * bj[:, None, None] + r[None, None, :]
+    return Aflat.at[R, C].add(blocks)
+
+
 def _submap_local(
     Hdd, Hij, b, free_mask, int_nodes, int_valid,
     ii_edge, ii_li, ii_lj, ii_valid,
@@ -276,76 +288,71 @@ def _submap_local(
     """Per-submap dense assembly + factorization + Schur contribution.
 
     All inputs are this submap's slices (no leading S axis). Returns
-    (Sc_part (3ns, 3ns), rhs_part (3ns,), L (3m, 3m) factor, y (3m,),
-    YB (3m, 3ns), fm_int (m,)).
+    (Sc_part (3ns, 3ns), rhs_part (3ns,), y (3m,), YB (3m, 3ns),
+    fm_int (m,)). All matrices assembled FLAT (see _scatter_blocks).
     """
     dt = Hdd.dtype
     m = int_nodes.shape[0]
-    eye3 = jnp.eye(3, dtype=dt)
 
     fm_int = (int_valid & free_mask[int_nodes]).astype(dt)  # (m,)
+    fm3 = jnp.repeat(fm_int, 3)  # (3m,)
 
-    A = jnp.zeros((m, 3, m, 3), dt)
-    diag = Hdd[int_nodes]  # (m, 3, 3)
-    A = A.at[jnp.arange(m), :, jnp.arange(m), :].set(diag)
+    im = jnp.arange(m)
+    A = jnp.zeros((3 * m, 3 * m), dt)
+    A = _scatter_blocks(A, im, im, Hdd[int_nodes])
     wii = ii_valid.astype(dt)[:, None, None]
     Hii = Hij[ii_edge] * wii
-    A = A.at[ii_li, :, ii_lj, :].add(Hii)
-    A = A.at[ii_lj, :, ii_li, :].add(jnp.swapaxes(Hii, -1, -2))
+    A = _scatter_blocks(A, ii_li, ii_lj, Hii)
+    A = _scatter_blocks(A, ii_lj, ii_li, jnp.swapaxes(Hii, -1, -2))
     # gauge/pad: zero rows+cols, identity diagonal (mirrors dense_solve)
-    A = A * fm_int[:, None, None, None] * fm_int[None, None, :, None]
-    A = A.at[jnp.arange(m), :, jnp.arange(m), :].add(
-        (1.0 - fm_int)[:, None, None] * eye3
-    )
+    A = A * fm3[:, None] * fm3[None, :]
+    A = A + jnp.diag(1.0 - fm3)
 
-    B = jnp.zeros((m, 3, ns, 3), dt)
     wis = is_valid.astype(dt)[:, None, None]
     His = Hij[is_edge]
     His = jnp.where(
         is_transpose[:, None, None], jnp.swapaxes(His, -1, -2), His
     ) * wis
-    B = B.at[is_li, :, is_sj, :].add(His)
+    B = jnp.zeros((3 * m, 3 * ns), dt)
+    B = _scatter_blocks(B, is_li, is_sj, His)
     # internal-side gauge; the separator-side mask is applied by the caller
     # on the reduced system (fixed separators get zero columns there)
-    B = B * fm_int[:, None, None, None]
+    B = B * fm3[:, None]
 
-    bi = b[int_nodes] * fm_int[:, None]  # (m, 3)
+    bi = (b[int_nodes] * fm_int[:, None]).reshape(3 * m)
 
-    L = jax.scipy.linalg.cho_factor(A.reshape(3 * m, 3 * m))
-    rhs = jnp.concatenate(
-        [B.reshape(3 * m, 3 * ns), bi.reshape(3 * m, 1)], axis=1
-    )
+    L = jax.scipy.linalg.cho_factor(A)
+    rhs = jnp.concatenate([B, bi[:, None]], axis=1)
     sol = jax.scipy.linalg.cho_solve(L, rhs)
     YB = sol[:, : 3 * ns]  # A⁻¹ B
     y = sol[:, 3 * ns]  # A⁻¹ b_int
-    Bf = B.reshape(3 * m, 3 * ns)
-    Sc_part = Bf.T @ YB
-    rhs_part = Bf.T @ y
+    Sc_part = B.T @ YB
+    rhs_part = B.T @ y
     return Sc_part, rhs_part, y, YB, fm_int
 
 
 def _sep_system(part, Hdd, Hij, b, free_mask, ns):
-    """Replicated separator-side pieces: damped gauge-fixed C and b_sep."""
+    """Replicated separator-side pieces: damped gauge-fixed C and b_sep.
+    Assembled FLAT (3ns, 3ns) — see _scatter_blocks."""
     dt = Hdd.dtype
-    eye3 = jnp.eye(3, dtype=dt)
     sep_nodes = jnp.asarray(part.sep_nodes)
     fm_sep = (
         jnp.asarray(part.sep_valid) & free_mask[sep_nodes]
     ).astype(dt)
-    C = jnp.zeros((ns, 3, ns, 3), dt)
-    C = C.at[jnp.arange(ns), :, jnp.arange(ns), :].set(Hdd[sep_nodes])
+    fm3 = jnp.repeat(fm_sep, 3)
+    isn = jnp.arange(ns)
+    C = jnp.zeros((3 * ns, 3 * ns), dt)
+    C = _scatter_blocks(C, isn, isn, Hdd[sep_nodes])
     wss = jnp.asarray(part.ss_valid).astype(dt)[:, None, None]
     Hss = Hij[jnp.asarray(part.ss_edge)] * wss
     si = jnp.asarray(part.ss_si)
     sj = jnp.asarray(part.ss_sj)
-    C = C.at[si, :, sj, :].add(Hss)
-    C = C.at[sj, :, si, :].add(jnp.swapaxes(Hss, -1, -2))
-    C = C * fm_sep[:, None, None, None] * fm_sep[None, None, :, None]
-    C = C.at[jnp.arange(ns), :, jnp.arange(ns), :].add(
-        (1.0 - fm_sep)[:, None, None] * eye3
-    )
+    C = _scatter_blocks(C, si, sj, Hss)
+    C = _scatter_blocks(C, sj, si, jnp.swapaxes(Hss, -1, -2))
+    C = C * fm3[:, None] * fm3[None, :]
+    C = C + jnp.diag(1.0 - fm3)
     b_sep = b[sep_nodes] * fm_sep[:, None]
-    return C.reshape(3 * ns, 3 * ns), b_sep.reshape(-1), fm_sep
+    return C, b_sep.reshape(-1), fm_sep
 
 
 def schur_delta(
@@ -369,28 +376,41 @@ def schur_delta(
     Hdd = _damped_diag(Hd, lam)
     ns = part.sep_nodes.shape[0]
 
-    local = jax.vmap(
-        lambda a, v, iie, iili, iilj, iiv, ise, isli, issj, ist, isv:
-        _submap_local(
+    # scan (not vmap) over submaps: vmap materializes every submap's
+    # (3ns, 3ns) Schur contribution at once — at outdoor separator counts
+    # (ns ≈ 1k once long-lever anchor edges cross submap boundaries) that
+    # is S × 37-75 MB, and XLA's rematerialized copies OOM'd HBM (round
+    # 4: two 9 GB broadcasts). The scan accumulates Sc/rhs in O(1) and
+    # stacks only the (3m, 3ns) back-substitution factors.
+    def _one(_, inp):
+        (a, v, iie, iili, iilj, iiv, ise, isli, issj, ist, isv) = inp
+        Sc_p, rhs_p, y, YB, fm_int = _submap_local(
             Hdd, Hij, b, free_mask, a, v,
             iie, iili, iilj, iiv, ise, isli, issj, ist, isv, ns,
         )
-    )(
-        jnp.asarray(part.int_nodes), jnp.asarray(part.int_valid),
-        jnp.asarray(part.ii_edge), jnp.asarray(part.ii_li),
-        jnp.asarray(part.ii_lj), jnp.asarray(part.ii_valid),
-        jnp.asarray(part.is_edge), jnp.asarray(part.is_li),
-        jnp.asarray(part.is_sj), jnp.asarray(part.is_transpose),
-        jnp.asarray(part.is_valid),
+        Sc_acc, rhs_acc = _
+        return (Sc_acc + Sc_p, rhs_acc + rhs_p), (y, YB, fm_int)
+
+    dt = Hdd.dtype
+    (Sc_sum, rhs_sum), (y, YB, fm_int) = jax.lax.scan(
+        _one,
+        (jnp.zeros((3 * ns, 3 * ns), dt), jnp.zeros((3 * ns,), dt)),
+        (
+            jnp.asarray(part.int_nodes), jnp.asarray(part.int_valid),
+            jnp.asarray(part.ii_edge), jnp.asarray(part.ii_li),
+            jnp.asarray(part.ii_lj), jnp.asarray(part.ii_valid),
+            jnp.asarray(part.is_edge), jnp.asarray(part.is_li),
+            jnp.asarray(part.is_sj), jnp.asarray(part.is_transpose),
+            jnp.asarray(part.is_valid),
+        ),
     )
-    Sc_parts, rhs_parts, y, YB, fm_int = local
 
     C, b_sep, fm_sep = _sep_system(part, Hdd, Hij, b, free_mask, ns)
     # apply separator gauge to the reduced contributions as well: B columns
     # of fixed separators must vanish
     colmask = jnp.repeat(fm_sep, 3)
-    Sc = C - jnp.sum(Sc_parts, axis=0) * colmask[None, :] * colmask[:, None]
-    rhs = -b_sep + jnp.sum(rhs_parts, axis=0) * colmask
+    Sc = C - Sc_sum * colmask[None, :] * colmask[:, None]
+    rhs = -b_sep + rhs_sum * colmask
     d_sep = jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(Sc), rhs
     )  # (3ns,)
