@@ -218,6 +218,16 @@ class KartoFrontEndConfig:
     # chain-consistently to scans accepted in the meantime. The reference
     # blocks the front-end inline (Mapper.cpp:2063-2070).
     async_loop_closure: bool = False
+    # speculative front match (new vs reference): during scan t's loop
+    # search, scan t+1's correlative front match is already in flight —
+    # the gates it needs (odometric HasMovedEnough, last corrected pose,
+    # running-buffer membership) are known before TryCloseLoop runs, and
+    # the rare invalidation (a closure or async harvest moved the poses)
+    # falls back to a fresh synchronous dispatch, so results are
+    # bit-identical to the sequential order. Only KartoSLAM.run (bag
+    # replay) has the lookahead to drive it; live per-scan process()
+    # calls behave as before.
+    speculative_front_match: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -329,6 +339,12 @@ class OfflineConfig:
     # ~s-fold and the pose-graph diameter shrinks by the largest stride
     # (which also conditions the CG solve). Strides are matched in ONE
     # extra batched device call with chain-predicted guesses.
+    # both drift-control stages (skip edges + anchors) engage only on
+    # routes long enough for accumulated chain drift to matter: short
+    # indoor missions hold cm ATE from chain+loops alone, their graphs
+    # stay RCM-bandable (skip edges break the band), and the solver
+    # keeps the fast exact CR kernel path
+    drift_control_min_route: float = 250.0  # m of integrated travel
     skip_strides: tuple = (8, 32, 128)
     # acceptance: deviation of the refined transform from the chain
     # prediction (a genuine skip match lands within local drift scale;

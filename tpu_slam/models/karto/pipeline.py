@@ -265,6 +265,10 @@ class KartoSLAM:
         self._stores: dict[int, DeviceScanStore] = {}
         self.loop_closures = 0
         self._base_buckets = {}
+        # in-flight speculative front match for the NEXT scan (dispatched
+        # during the current scan's loop search; see
+        # cfg.karto.speculative_front_match)
+        self._spec: dict | None = None
         # MapperListener analogue (Mapper.h:35-83): loop-closure decisions
         # and progress surface through this bus
         self.events = EventBus()
@@ -366,7 +370,9 @@ class KartoSLAM:
         last_id = self.sensors[rec.sensor].last_scan_id
         if last_id is None:
             return True
-        last = self.scans[last_id]
+        return self._moved_between(self.scans[last_id], rec)
+
+    def _moved_between(self, last: ScanRecord, rec: ScanRecord) -> bool:
         k = self.cfg.karto
         # enough time passed (MinimumTimeInterval gate, Mapper.cpp:2095-2099)
         if rec.time - last.time >= k.minimum_time_interval:
@@ -1012,16 +1018,112 @@ class KartoSLAM:
         )
         return True
 
-    # --- main entry ---------------------------------------------------------
-    def process(self, scan: Scan, odom_pose, sensor: str | None = None) -> bool:
-        """Mapper::Process (Mapper.cpp:1999-2120). Returns True if the scan
-        was accepted (moved enough) and integrated. ``sensor`` selects a
-        registered laser (default: the one registered at construction)."""
-        sensor = sensor or self.default_sensor
+    # --- speculative front match (pipeline overlap) -------------------------
+    def _dispatch_speculative(
+        self, scan: Scan, odom_pose, sensor: str, last_rec: ScanRecord
+    ) -> dict | None:
+        """Dispatch the NEXT scan's front match before the current scan's
+        loop search runs. Everything the match needs is already decided:
+        the odometric HasMovedEnough gate, the propagated search center
+        (last corrected pose ∘ odometry delta) and the running-buffer
+        membership. The consumer re-validates all of it — if TryCloseLoop
+        or an async harvest moved any pose in between, the speculation is
+        dropped and a fresh synchronous match runs, so results are
+        bit-identical to the sequential order."""
         st = self.sensors[sensor]
-        rec = self._make_record(
+        nrec = self._make_record(
             scan, np.asarray(odom_pose, np.float64), sensor
         )
+        delta = _np_rel(last_rec.odom_pose, nrec.odom_pose)
+        nrec.corrected_pose = _np_compose(last_rec.corrected_pose, delta)
+        if not self._moved_between(last_rec, nrec):
+            return None
+        running = list(st.running)
+        if not running:
+            return None
+        ns = {self.scans[i].pts_laser.shape[0] for i in running}
+        if len(ns) != 1:
+            return None
+        store = self._stores.get(next(iter(ns)))
+        if store is None or any(
+            self.scans[i].store_row < 0 for i in running
+        ):
+            return None
+        poses, idx, lane_valid = self._chain_batch_indices([running])
+        pend = self.front_matcher.match_chains_store_async(
+            store.pts, store.valid, idx, poses, nrec.pts_laser,
+            nrec.beam_valid, np.asarray(nrec.corrected_pose, np.float32),
+            lane_valid=lane_valid,
+        )
+        return {
+            "sensor": sensor,
+            "rec": nrec,
+            "pending": pend,
+            "running": running,
+            "center": nrec.corrected_pose.copy(),
+            "poses": poses,
+            "idx": idx,
+            "ranges_bits": np.asarray(scan.ranges, np.float32)
+            .view(np.int32).copy(),
+        }
+
+    def _resolve_front_match(
+        self, rec: ScanRecord, st: SensorState
+    ) -> MatchResult | None:
+        """Use the in-flight speculative match iff the world it was
+        dispatched against is unchanged; None → caller matches fresh."""
+        spec, self._spec = self._spec, None
+        if spec is None or spec["sensor"] != rec.sensor:
+            return None
+        srec = spec["rec"]
+        if srec is not rec and not (
+            np.array_equal(srec.odom_pose, rec.odom_pose)
+            # bitwise: pts may carry NaN/±inf beams
+            and np.array_equal(
+                srec.pts_laser.view(np.int32),
+                rec.pts_laser.view(np.int32),
+            )
+        ):
+            return None
+        if not np.array_equal(spec["center"], rec.corrected_pose):
+            return None
+        if spec["running"] != list(st.running):
+            return None
+        poses, idx, _ = self._chain_batch_indices([spec["running"]])
+        if not (
+            np.array_equal(poses, spec["poses"])
+            and np.array_equal(idx, spec["idx"])
+        ):
+            return None
+        r = spec["pending"].resolve()
+        return MatchResult(r.pose[0], r.response[0], r.covariance[0])
+
+    # --- main entry ---------------------------------------------------------
+    def process(self, scan: Scan, odom_pose, sensor: str | None = None,
+                lookahead: tuple | None = None) -> bool:
+        """Mapper::Process (Mapper.cpp:1999-2120). Returns True if the scan
+        was accepted (moved enough) and integrated. ``sensor`` selects a
+        registered laser (default: the one registered at construction).
+        ``lookahead``: optional (next_scan, next_odom_pose) — enables the
+        speculative front match (cfg.karto.speculative_front_match)."""
+        sensor = sensor or self.default_sensor
+        st = self.sensors[sensor]
+        spec = self._spec
+        if (spec is not None and spec["sensor"] == sensor
+                and np.array_equal(
+                    spec["rec"].odom_pose,
+                    np.asarray(odom_pose, np.float64))
+                and np.array_equal(  # bitwise: ranges may carry NaN/inf
+                    np.asarray(scan.ranges, np.float32).view(np.int32),
+                    spec["ranges_bits"],
+                )):
+            # the speculative record was built from this very scan — reuse
+            # the host-side conversion work
+            rec = spec["rec"]
+        else:
+            rec = self._make_record(
+                scan, np.asarray(odom_pose, np.float64), sensor
+            )
         self._poll_correction()  # apply a finished async solve, if any
 
         # propagate last correction onto the odometric estimate (:2023-2024)
@@ -1036,10 +1138,12 @@ class KartoSLAM:
         cov = np.eye(3)
         if self.cfg.karto.use_scan_matching and st.last_scan_id is not None:
             with self.timer.stage("front_match"):
-                res = self._match(
-                    self.front_matcher, rec, list(st.running),
-                    rec.corrected_pose,
-                )
+                res = self._resolve_front_match(rec, st)
+                if res is None:
+                    res = self._match(
+                        self.front_matcher, rec, list(st.running),
+                        rec.corrected_pose,
+                    )
             rec.corrected_pose = np.asarray(res.pose, np.float64)
             cov = np.asarray(res.covariance, np.float64)
 
@@ -1059,6 +1163,17 @@ class KartoSLAM:
             # AddEdges may refine the pose via the weighted mean (:968-971)
             self.solver.set_node_pose(rec.state_id, rec.corrected_pose)
         self._add_running(rec)
+        # overlap: the NEXT scan's front match goes onto the device now,
+        # so it computes while the host gathers loop candidates and the
+        # device runs the loop-coarse program for THIS scan
+        self._spec = None
+        if (lookahead is not None
+                and self.cfg.karto.speculative_front_match
+                and self.cfg.karto.use_scan_matching):
+            with self.timer.stage("spec_dispatch"):
+                self._spec = self._dispatch_speculative(
+                    lookahead[0], lookahead[1], sensor, rec
+                )
         if self.cfg.karto.do_loop_closing and self.cfg.karto.use_scan_matching:
             with self.timer.stage("try_close_loop"):
                 self._try_close_loop(rec)
@@ -1110,8 +1225,14 @@ class KartoSLAM:
 
         scans = jax.tree_util.tree_map(np.asarray, scans)
         accepted = []
-        for t in range(scans.ranges.shape[0]):
-            if self.process(index_scan(scans, t), odom_poses[t]):
+        T = scans.ranges.shape[0]
+        for t in range(T):
+            la = (
+                (index_scan(scans, t + 1), odom_poses[t + 1])
+                if t + 1 < T else None
+            )
+            if self.process(index_scan(scans, t), odom_poses[t],
+                            lookahead=la):
                 accepted.append(t)
         self.flush()
         return np.asarray(accepted)

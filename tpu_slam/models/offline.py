@@ -359,9 +359,16 @@ def offline_slam(
     # anchors; ONE batched call over all strides, guesses predicted from
     # the integrated chain (local drift over <=max stride is well inside
     # the PL-ICP basin)
+    # route length gates BOTH drift-control stages (skip edges, anchors):
+    # see OfflineConfig.drift_control_min_route
+    route_len = float(
+        np.sum(np.hypot(chain_rels[:, 0], chain_rels[:, 1]))
+    )
+    drift_control = route_len >= ocfg.drift_control_min_route
+
     skip_edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
     skip_pairs_i: list[np.ndarray] = []
-    for s in ocfg.skip_strides:
+    for s in ocfg.skip_strides if drift_control else ():
         if 1 < s < T:
             ii = np.arange(0, T - s, s, dtype=np.int64)
             skip_pairs_i.append(np.stack([ii, ii + s], axis=-1))
@@ -559,7 +566,8 @@ def offline_slam(
     # accepted matches become relative edges against the FAR end of the
     # submap, replacing the PL-ICP chain's geometry-correlated warp.
     anchors_tried = 0
-    anchor_on = (ocfg.use_anchor and T >= ocfg.anchor_min_scans
+    anchor_on = (ocfg.use_anchor and drift_control
+                 and T >= ocfg.anchor_min_scans
                  and T > ocfg.anchor_span + ocfg.anchor_step)
     if anchor_on:
         from tpu_slam.ops.correlative import (

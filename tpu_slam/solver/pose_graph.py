@@ -414,6 +414,89 @@ def _sq_min_delta(convergence_delta: float, dtype) -> float:
     return max(float(convergence_delta), 1e-8)
 
 
+def mixed_schur_delta(
+    schur_part, poses, ei, ej, means, infos, mask, lam, free_mask,
+    pcg_iters: int = 100,
+):
+    """f64-exact LM delta via an f32 Schur factorization reused as the
+    PCG preconditioner.
+
+    The large non-bandable graphs need a DIRECT method (f32/f64 CG are
+    algorithmically inadequate at chain condition ~1e6, BENCHMARKS round
+    4), but f64 Cholesky inside the LM while-program crashed the TPU
+    worker at outdoor separator counts — and the MXU has no f64 path
+    anyway. So: assemble the normal equations in f64 (cheap, exact),
+    factor the damped system ONCE per LM step in f32 (schur.schur_factor
+    — MXU-friendly), and run a short f64 PCG whose preconditioner is
+    that factor. The preconditioned system has condition ≈ 1 + κ·eps32,
+    so a dozen iterations of f64 MATVECS (no f64 factorization at all)
+    recover the f64-direct answer."""
+    M = schur_part.n_nodes
+    dt = poses.dtype
+    Hd, Hij, b = normal_equations(poses, ei, ej, means, infos, mask, M)
+    eye3 = jnp.eye(3, dtype=dt)
+    Hdd0 = Hd + 1e-12 * eye3
+    diag_idx = jnp.arange(3)
+    Hdd = Hdd0.at[:, diag_idx, diag_idx].mul(1.0 + lam)
+    fm = free_mask.astype(dt)
+
+    from tpu_slam.solver.schur import schur_apply, schur_factor
+
+    # the PRECONDITIONER factors at a FLOORED damping: as LM converges
+    # λ → 1e-9 and the system's f32 condition explodes — the f32 Cholesky
+    # goes indefinite and its NaN deltas stall the accept/reject loop
+    # (measured: LM stuck at ATE 1.19 on the outdoor graph vs 0.651 with
+    # exact steps). The f64 operator keeps the TRUE λ, so PCG still
+    # converges to the exact delta; the floored factor only costs a few
+    # extra (cheap, matvec-only) iterations.
+    lam32 = jnp.maximum(lam, 1e-5)
+    Hdd32 = Hdd0.at[:, diag_idx, diag_idx].mul(1.0 + lam32)
+    fac = schur_factor(
+        schur_part, Hdd32.astype(jnp.float32), Hij.astype(jnp.float32),
+        free_mask,
+    )
+
+    def mv(x):
+        return cg_matvec(x, Hdd, Hij, ei, ej, free_mask)
+
+    def prec(r):
+        return schur_apply(schur_part, fac, r, free_mask).astype(dt)
+
+    bb = -b * fm[:, None]
+    x = prec(bb)  # the f32 direct solve itself is the starting point
+    r = bb - mv(x)
+    z = prec(r)
+    # residual-stopped PCG: near LM convergence (λ → 1e-9) the floored
+    # factor mismatches the soft flat-valley modes by ~λ_floor/λ, and a
+    # fixed dozen iterations leaves exactly those directions unsolved
+    # (measured: the LM stalls at cost 2071 vs 2064 / ATE 1.17 vs 0.651).
+    # Iterations are matvec+backsub only — orders cheaper than the
+    # per-LM-step factorization — so the cap is generous.
+    stop2 = jnp.asarray(1e-24, dt) * jnp.sum(bb * bb)
+
+    def cond(state):
+        _x, r, _z, _p, _rz, it = state
+        return (it < pcg_iters) & (jnp.sum(r * r) > stop2)
+
+    def step(state):
+        x, r, z, p, rz, it = state
+        Ap = mv(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, *_ = jax.lax.while_loop(
+        cond, step, (x, r, z, z, jnp.sum(r * z), jnp.int32(0))
+    )
+    return x
+
+
 def _lm_loop_program(
     p0, lam0, ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
     *, M, use_dense, iters, cg_iterations, cg_tolerance, psum_axis=None,
@@ -445,6 +528,14 @@ def _lm_loop_program(
 
     def solve(p, lam):
         if schur_part is not None:
+            if p.dtype == jnp.float64:
+                # mixed precision: f32 Schur factor + f64 PCG — the f64
+                # in-loop Cholesky variant crashed the TPU worker at
+                # outdoor separator counts (see mixed_schur_delta)
+                return mixed_schur_delta(
+                    schur_part, p, ei_d, ej_d, means_d, infos_d,
+                    mask_d, lam, free_d,
+                )
             from tpu_slam.solver.schur import schur_delta
 
             return schur_delta(
@@ -770,23 +861,7 @@ class PoseGraphSolver:
             # graph every solve round, and the numpy partitioning was
             # costing more than the device solve it prepared (measured
             # round 3 — karto offline throughput dropped ~25% without it).
-            import hashlib
-
-            hk = hashlib.blake2b(digest_size=16)  # content digest — a
-            # built-in hash() collision would silently reuse a WRONG
-            # partition and corrupt the Schur solve (ADVICE round 3)
-            hk.update(ei.tobytes())
-            hk.update(ej.tobytes())
-            hk.update(mask.tobytes())
-            pkey = (M, cfg.schur_submaps, hk.digest())
-            schur_part = _SCHUR_PART_CACHE.get(pkey)
-            if schur_part is None:
-                schur_part = bucket_partition(
-                    build_partition(ei, ej, mask, M, cfg.schur_submaps)
-                )
-                if len(_SCHUR_PART_CACHE) > 64:
-                    _SCHUR_PART_CACHE.clear()
-                _SCHUR_PART_CACHE[pkey] = schur_part
+            schur_part = self._schur_partition(ei, ej, mask, M)
 
         # The entire doSPA LM loop (spa2d.cpp:455-607) runs as ONE device
         # program: per-iteration host round-trips over a TPU tunnel cost more
@@ -867,22 +942,25 @@ class PoseGraphSolver:
             )
         return PendingSolve(self, arrays, self.num_nodes)
 
-    def _compute_f64_schur(
-        self, iters, poses, ei, ej, means, infos, mask, free, M, E
-    ) -> "PendingSolve":
-        """Exact large-graph fallback: the full LM while_loop with the
-        direct Schur-complement step (solver/schur.py), run in float64.
+    def _schur_partition(self, ei, ej, mask, M):
+        """Cached host-side Schur partition of the current graph
+        (data-dependent; the device LM loop consumes its fixed-shape
+        index maps — see the round-3 notes at the f32 call site).
 
-        Everything — array upload, (re)trace and dispatch — happens under
-        jax.enable_x64: jax caches compiled programs per config state, so
-        a call outside the scope would silently retrace at f32."""
-        import contextlib
+        NOTE on f64: the f64 LM-while programs with IN-LOOP f64 Cholesky
+        crashed the TPU worker at ~1k-separator shapes (round 4; a single
+        schur_delta at those shapes ran fine). The shipped f64 path
+        therefore never factors in f64 — it reuses the f32 factor as a
+        PCG preconditioner (mixed_schur_delta), which compiles and runs
+        at every measured separator count."""
         import hashlib
 
-        cfg = self.cfg
         from tpu_slam.solver.schur import bucket_partition, build_partition
 
-        hk = hashlib.blake2b(digest_size=16)
+        cfg = self.cfg
+        hk = hashlib.blake2b(digest_size=16)  # content digest — a
+        # built-in hash() collision would silently reuse a WRONG
+        # partition and corrupt the Schur solve (ADVICE round 3)
         hk.update(ei.tobytes())
         hk.update(ej.tobytes())
         hk.update(mask.tobytes())
@@ -895,6 +973,21 @@ class PoseGraphSolver:
             if len(_SCHUR_PART_CACHE) > 64:
                 _SCHUR_PART_CACHE.clear()
             _SCHUR_PART_CACHE[pkey] = schur_part
+        return schur_part
+
+    def _compute_f64_schur(
+        self, iters, poses, ei, ej, means, infos, mask, free, M, E
+    ) -> "PendingSolve":
+        """Exact large-graph fallback: the full LM while_loop with the
+        direct Schur-complement step (solver/schur.py), run in float64.
+
+        Everything — array upload, (re)trace and dispatch — happens under
+        jax.enable_x64: jax caches compiled programs per config state, so
+        a call outside the scope would silently retrace at f32."""
+        import contextlib
+
+        cfg = self.cfg
+        schur_part = self._schur_partition(ei, ej, mask, M)
 
         key = (
             "f64schur", M, E, iters, cfg.convergence_delta,

@@ -355,6 +355,129 @@ def _sep_system(part, Hdd, Hij, b, free_mask, ns):
     return C, b_sep.reshape(-1), fm_sep
 
 
+def _sep_matrix(part, Hdd, Hij, free_mask, ns):
+    """Separator-side matrix C (damped, gauge-fixed, FLAT) + masks."""
+    dt = Hdd.dtype
+    sep_nodes = jnp.asarray(part.sep_nodes)
+    fm_sep = (
+        jnp.asarray(part.sep_valid) & free_mask[sep_nodes]
+    ).astype(dt)
+    fm3 = jnp.repeat(fm_sep, 3)
+    isn = jnp.arange(ns)
+    C = jnp.zeros((3 * ns, 3 * ns), dt)
+    C = _scatter_blocks(C, isn, isn, Hdd[sep_nodes])
+    wss = jnp.asarray(part.ss_valid).astype(dt)[:, None, None]
+    Hss = Hij[jnp.asarray(part.ss_edge)] * wss
+    si = jnp.asarray(part.ss_si)
+    sj = jnp.asarray(part.ss_sj)
+    C = _scatter_blocks(C, si, sj, Hss)
+    C = _scatter_blocks(C, sj, si, jnp.swapaxes(Hss, -1, -2))
+    C = C * fm3[:, None] * fm3[None, :]
+    C = C + jnp.diag(1.0 - fm3)
+    return C, fm_sep, fm3
+
+
+def schur_factor(part: SchurPartition, Hdd, Hij, free_mask):
+    """Factor the damped gauge-fixed system ONCE; reuse via schur_apply.
+
+    Built for the mixed-precision large-graph path
+    (pose_graph.mixed_schur_delta): all factorizations run in f32 — the
+    f64 LM-while programs with in-loop f64 Cholesky crashed the TPU
+    worker at outdoor separator counts (round 4), and f64 matmuls have
+    no MXU path anyway — while the caller's f64 PCG restores exact
+    deltas using only matvecs. Returns (L_sub (S,3m,3m), B (S,3m,3ns),
+    YB (S,3m,3ns), fm_int (S,m), L_sc (3ns,3ns), fm_sep, colmask)."""
+    dt = Hdd.dtype
+    ns = part.sep_nodes.shape[0]
+
+    def _one(Sc_acc, inp):
+        (a, v, iie, iili, iilj, iiv, ise, isli, issj, ist, isv) = inp
+        m = a.shape[0]
+        fm_int = (v & free_mask[a]).astype(dt)
+        fm3 = jnp.repeat(fm_int, 3)
+        im = jnp.arange(m)
+        A = jnp.zeros((3 * m, 3 * m), dt)
+        A = _scatter_blocks(A, im, im, Hdd[a])
+        wii = iiv.astype(dt)[:, None, None]
+        Hii = Hij[iie] * wii
+        A = _scatter_blocks(A, iili, iilj, Hii)
+        A = _scatter_blocks(A, iilj, iili, jnp.swapaxes(Hii, -1, -2))
+        A = A * fm3[:, None] * fm3[None, :]
+        A = A + jnp.diag(1.0 - fm3)
+        wis = isv.astype(dt)[:, None, None]
+        His = Hij[ise]
+        His = jnp.where(
+            ist[:, None, None], jnp.swapaxes(His, -1, -2), His
+        ) * wis
+        B = jnp.zeros((3 * m, 3 * ns), dt)
+        B = _scatter_blocks(B, isli, issj, His)
+        B = B * fm3[:, None]
+        L, _ = jax.scipy.linalg.cho_factor(A)
+        YB = jax.scipy.linalg.cho_solve((L, False), B)
+        return Sc_acc + B.T @ YB, (L, B, YB, fm_int)
+
+    Sc_sum, (Ls, Bs, YBs, fm_int) = jax.lax.scan(
+        _one,
+        jnp.zeros((3 * ns, 3 * ns), dt),
+        (
+            jnp.asarray(part.int_nodes), jnp.asarray(part.int_valid),
+            jnp.asarray(part.ii_edge), jnp.asarray(part.ii_li),
+            jnp.asarray(part.ii_lj), jnp.asarray(part.ii_valid),
+            jnp.asarray(part.is_edge), jnp.asarray(part.is_li),
+            jnp.asarray(part.is_sj), jnp.asarray(part.is_transpose),
+            jnp.asarray(part.is_valid),
+        ),
+    )
+    C, fm_sep, colmask3 = _sep_matrix(part, Hdd, Hij, free_mask, ns)
+    Sc = C - Sc_sum * colmask3[None, :] * colmask3[:, None]
+    Lsc, _ = jax.scipy.linalg.cho_factor(Sc)
+    return (Ls, Bs, YBs, fm_int, Lsc, fm_sep, colmask3)
+
+
+def schur_apply(part: SchurPartition, fac, rhs, free_mask):
+    """x = H⁻¹ rhs for the damped gauge-fixed H captured by the factor.
+
+    rhs: (M, 3). Returns (M, 3). Standard arrow back-substitution:
+    y_k = A_k⁻¹ r_k;  Sc x_sep = r_sep − Σ B_kᵀ y_k;
+    x_k = y_k − (A_k⁻¹B_k) x_sep."""
+    Ls, Bs, YBs, fm_int, Lsc, fm_sep, colmask3 = fac
+    dt = Ls.dtype
+    M = part.n_nodes
+    ns = part.sep_nodes.shape[0]
+    int_nodes = jnp.asarray(part.int_nodes)
+    int_valid = jnp.asarray(part.int_valid)
+
+    def _one(acc, inp):
+        L, B, fmi, a = inp
+        ri = (rhs[a] * fmi[:, None]).reshape(-1).astype(dt)
+        y = jax.scipy.linalg.cho_solve((L, False), ri)
+        return acc + B.T @ y, y
+
+    acc, ys = jax.lax.scan(
+        _one, jnp.zeros((3 * ns,), dt), (Ls, Bs, fm_int, int_nodes)
+    )
+    r_sep = (
+        rhs[jnp.asarray(part.sep_nodes)] * fm_sep[:, None]
+    ).reshape(-1).astype(dt)
+    x_sep = jax.scipy.linalg.cho_solve(
+        (Lsc, False), (r_sep - acc) * colmask3
+    ) * colmask3
+    x_int = ys - jnp.einsum("sij,j->si", YBs, x_sep)
+    S, m3 = x_int.shape
+    x_int = x_int.reshape(S, m3 // 3, 3) * fm_int[..., None]
+
+    x = jnp.zeros((M, 3), dt)
+    inodes = jnp.where(int_valid, int_nodes, M)
+    x = x.at[inodes.reshape(-1)].add(x_int.reshape(-1, 3), mode="drop")
+    snodes = jnp.where(
+        jnp.asarray(part.sep_valid), jnp.asarray(part.sep_nodes), M
+    )
+    x = x.at[snodes].add(
+        x_sep.reshape(-1, 3) * fm_sep[:, None], mode="drop"
+    )
+    return x
+
+
 def schur_delta(
     part: SchurPartition,
     poses,
