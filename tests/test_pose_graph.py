@@ -253,3 +253,65 @@ def test_fused_lm_matches_xla():
     # f32 sum orders differ between the two programs; both must reach the
     # same tight optimum and the poses agree to millimeters
     np.testing.assert_allclose(np.asarray(pf), np.asarray(pr), atol=3e-3)
+
+
+def test_mixed_schur_f64_path_matches_oracle():
+    """The large-graph f64 dispatch (SolverConfig.f64_schur_above) — f32
+    Schur factor + f64 PCG (mixed_schur_delta) — must reproduce an f64
+    dense solve of the same mission-shaped graph. The graph carries
+    multi-stride skip edges so it does NOT band under RCM (the offline
+    outdoor shape that motivated the path, BENCHMARKS round 4)."""
+    import dataclasses
+
+    from tpu_slam import geometry_np as gnp
+    from tpu_slam.config import SolverConfig
+    from tpu_slam.solver.pose_graph import PoseGraphSolver
+
+    rng = np.random.default_rng(11)
+    n = 160
+    th = np.linspace(0, 2 * np.pi, n)
+    gt = np.stack([8 * np.cos(th), 8 * np.sin(th), th + np.pi / 2], -1)
+    gt[:, 2] = np.arctan2(np.sin(gt[:, 2]), np.cos(gt[:, 2]))
+    edges = []
+    rels = gnp.relative(gt[:-1], gt[1:])
+    for i in range(n - 1):
+        edges.append((i, i + 1, rels[i] + rng.normal(0, 0.01, 3)))
+    for s in (8, 32):  # skips break RCM banding (non-bandable like outdoor)
+        rl = gnp.relative(gt[:-s], gt[s:])
+        for i in range(0, n - s, s):
+            edges.append((i, i + s, rl[i] + rng.normal(0, 0.004, 3)))
+    init = [gt[0]]
+    for i in range(n - 1):
+        init.append(gnp.compose(init[-1], edges[i][2]))
+    init = np.asarray(init)
+    info = np.diag([1e4, 1e4, 4e4])
+
+    def solve(cfg):
+        s = PoseGraphSolver(cfg)
+        for i in range(n):
+            s.add_node(i, init[i])
+        for i, j, m in edges:
+            s.add_constraint(i, j, m, information=info)
+        s.compute()
+        return s.get_poses()
+
+    # force the mixed f64 dispatch at this small size
+    mixed = solve(
+        SolverConfig(f64_schur_above=64, use_dense_below=32,
+                     schur_submaps=8)
+    )
+    # oracle: plain dense f64 LM of the same graph
+    import jax
+    import jax.numpy as jnp
+
+    with jax.enable_x64(True):
+        s = PoseGraphSolver(
+            SolverConfig(use_dense_below=4096), dtype=jnp.float64
+        )
+        for i in range(n):
+            s.add_node(i, init[i])
+        for i, j, m in edges:
+            s.add_constraint(i, j, m, information=info)
+        s.compute()
+        want = s.get_poses()
+    np.testing.assert_allclose(mixed, want, atol=5e-5)
