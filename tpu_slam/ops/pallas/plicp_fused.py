@@ -225,6 +225,21 @@ def _round_tail(
     return px2, py2, pth2, mean_err, n_inl, h_flat, conv_out
 
 
+def _split3(x):
+    """Exact 3-term bf16 decomposition of f32: x = hi + mid + lo.
+
+    Dekker-style: each residual subtraction is error-free (the parts share
+    the leading bits), and the last residual has ≤8 significant bits left,
+    so lo captures it exactly. Products of any part with a 0/1 one-hot are
+    exact on the MXU (bf16×bf16 accumulated in f32), which makes split
+    matmuls bit-exact gathers — the round-4 "split-bf16" headroom note."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(x.dtype)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(x.dtype)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
     max_d2 = cfg.max_correspondence_dist**2
     n_rounds = cfg.max_iterations
@@ -237,7 +252,8 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
         nxr, nyr, nvr,                   # (P, M) tgt shifted −1 (next beam)
         init_ref,                        # (P, 3)
         pose_ref, stats_ref, H_ref,      # out: (P,3), (P,4), (P,9)
-        wx_s, wy_s, dmin_s, gath_s, rows_s, tn_s,  # (P,N)×3, (P,9,N), (P,9,M), (P,M)
+        wx_s, wy_s, dmin_s, gath_s,      # (P,N)×3, (P,9,N)
+        rows27_s, t12_s, a12_s, tn_s,    # bf16 (P,27,M), (P,12,M), (P,12,N); (P,M)
     ):
         sx = sx_ref[...]
         sy = sy_ref[...]
@@ -245,32 +261,72 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
         P = sx.shape[0]
         C = chunk
         cols2d = jax.lax.broadcasted_iota(jnp.int32, (C, m), 1)
-        # the 9 gather sources stacked on sublanes, (P, 9, M): one MXU
-        # matmul per pair gathers all of them at once (see corr_chunk)
-        rows_s[:, 0, :] = tx_ref[...]
-        rows_s[:, 1, :] = ty_ref[...]
-        rows_s[:, 2, :] = tv_ref[...]
-        rows_s[:, 3, :] = pxr[...]
-        rows_s[:, 4, :] = pyr[...]
-        rows_s[:, 5, :] = pvr[...]
-        rows_s[:, 6, :] = nxr[...]
-        rows_s[:, 7, :] = nyr[...]
-        rows_s[:, 8, :] = nvr[...]
-        miota = jax.lax.broadcasted_iota(jnp.int32, (m, C), 0)
-        # target squared norms + validity mask, constant across rounds:
-        # d2 = |w|² + |t|² − 2·w·t — |w|² is constant per source row, so
-        # the argmin over M only needs s = |t|² − 2·w·t (cross term on MXU)
-        tn_s[...] = (
-            tx_ref[...] * tx_ref[...]
-            + ty_ref[...] * ty_ref[...]
-            + (1.0 - tv_ref[...]) * BIG
+        # The 9 gather sources, each split into exact bf16 triples and
+        # stacked on sublanes (rows k / 9+k / 18+k = hi / mid / lo of
+        # source k). ONE default-precision (27, M) @ (M, C) one-hot matmul
+        # per pair then gathers everything bit-exactly: 27 rows cost the
+        # MXU the same as 9 (≤128 sublanes per pass), so this replaces the
+        # round-4 six-pass HIGHEST gather at one-sixth the MXU passes —
+        # the throughput the correctness fix gave back.
+        tx = tx_ref[...]
+        ty = ty_ref[...]
+        txh, txm, txl = _split3(tx)
+        tyh, tym, tyl = _split3(ty)
+        sources = (
+            (txh, txm, txl), (tyh, tym, tyl), _split3(tv_ref[...]),
+            _split3(pxr[...]), _split3(pyr[...]), _split3(pvr[...]),
+            _split3(nxr[...]), _split3(nyr[...]), _split3(nvr[...]),
         )
+        for k, (h, mm, ll) in enumerate(sources):
+            rows27_s[:, k, :] = h
+            rows27_s[:, 9 + k, :] = mm
+            rows27_s[:, 18 + k, :] = ll
+        # Cross term w·t as ONE default-precision pass: the six significant
+        # split combos (hi·hi, hi·mid, mid·hi, hi·lo, lo·hi, mid·mid —
+        # exactly the passes HIGHEST performs) stacked along the CONTRACTION
+        # dim per coordinate (K=12 costs the MXU the same as K=2). Dropped
+        # combos are ≤2⁻²⁷ relative — below the f32 rounding of the result.
+        # The ranking coordinates are CENTERED on the per-pair target
+        # centroid first: distances are translation-invariant, and the
+        # expanded form's cancellation noise scales with |t|² — centering
+        # cuts it ~25× at outdoor magnitudes (|t|≈50 m → spread ≈10 m), so
+        # argmin tie flips vs the exact-d2 XLA path need ties ~25× closer.
+        # ONLY the s-ranking sees centered values; the gather rows, the
+        # exact dmin gate, and the GN tail all use original coordinates.
+        tv = tv_ref[...]
+        tvsum = jnp.maximum(jnp.sum(tv, axis=1, keepdims=True), 1.0)
+        cx = jnp.sum(tx * tv, axis=1, keepdims=True) / tvsum  # (P,1)
+        cy = jnp.sum(ty * tv, axis=1, keepdims=True) / tvsum
+        tcx = (tx - cx) * tv  # invalid beams pinned to the centroid → 0
+        tcy = (ty - cy) * tv
+        tcxh, tcxm, tcxl = _split3(tcx)
+        tcyh, tcym, tcyl = _split3(tcy)
+        for r, v in enumerate((tcxh, tcxm, tcxh, tcxl, tcxh, tcxm)):
+            t12_s[:, r, :] = v
+        for r, v in enumerate((tcyh, tcym, tcyh, tcyl, tcyh, tcym)):
+            t12_s[:, 6 + r, :] = v
+        # centered target squared norms + validity mask, constant across
+        # rounds: d2 = |wc|² + |tc|² − 2·wc·tc — |wc|² is constant per
+        # source row, so the argmin over M only needs s = |tc|² − 2·wc·tc
+        tn_s[...] = tcx * tcx + tcy * tcy + (1.0 - tv) * BIG
+        miota = jax.lax.broadcasted_iota(jnp.int32, (m, C), 0)
 
         def round_body(carry):
             i, px, py, pth, pe, pni, ph, conv = carry
             c, s = jnp.cos(pth), jnp.sin(pth)  # (P,1)
-            wx_s[...] = c * sx - s * sy + px  # (P,N) world src
-            wy_s[...] = s * sx + c * sy + py
+            wx = c * sx - s * sy + px  # (P,N) world src
+            wy = s * sx + c * sy + py
+            wx_s[...] = wx
+            wy_s[...] = wy
+            # centered world-side split stack for the cross term, all pairs
+            # at once (frozen pairs recompute identical values — their pose
+            # is frozen — so the skip below stays consistent)
+            wxh, wxm, wxl = _split3(wx - cx)
+            wyh, wym, wyl = _split3(wy - cy)
+            for r, v in enumerate((wxh, wxh, wxm, wxh, wxl, wxm)):
+                a12_s[:, r, :] = v
+            for r, v in enumerate((wyh, wyh, wym, wyh, wyl, wym)):
+                a12_s[:, 6 + r, :] = v
 
             # chunk loop over source beams: only per-pair (C, M) tiles are
             # live; a real fori_loop (not unrolled) so Mosaic reuses the
@@ -282,33 +338,18 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
                 off = pl.multiple_of(ci * C, C)
                 wxc = wx_s[:, pl.ds(off, C)]
                 wyc = wy_s[:, pl.ds(off, C)]
-                wn = wxc * wxc + wyc * wyc  # (P,C)
                 for p in range(P):
                     # a converged pair's pose is frozen → its NN/gather
                     # results are already in scratch from its last active
                     # round; skip BOTH matmuls (the round's dominant cost)
                     @pl.when(conv[p, 0] < 0.5)
                     def _():
-                        # cross term on the MXU: one (2,C)ᵀ(2,M)
-                        # contraction; s ranks identically to d2 per row,
-                        # dmin = min s + |w|²
-                        A = jnp.concatenate(
-                            [wxc[p : p + 1], wyc[p : p + 1]], axis=0
-                        )  # (2, C)
-                        # HIGHEST: Mosaic's DEFAULT matmul is single-pass
-                        # bf16 — at outdoor magnitudes (|t|~50 m, s~2500 m²)
-                        # its ~4e-3 relative rounding flips the NN argmin
-                        # and the dmin<max_d2 inlier gate (measured: median
-                        # 22-beam inlier disagreement and 7 mm pose error vs
-                        # the XLA path on the 50 m outdoor workload; exact
-                        # at HIGHEST). Indoors (|t|~10 m) the error hid
-                        # below the match noise, which is why round-1..3
-                        # parity never caught it.
+                        # s ranks identically to d2 per source row; one
+                        # K=12 default pass (see t12_s comment above)
                         cross = jax.lax.dot_general(
-                            A, rows_s[p, 0:2, :],
+                            a12_s[p, :, pl.ds(off, C)], t12_s[p],
                             (((0,), (0,)), ((), ())),
                             preferred_element_type=sx.dtype,
-                            precision=jax.lax.Precision.HIGHEST,
                         )  # (C, M)
                         s_ = tn_s[p][None, :] - 2.0 * cross
                         sminc = jnp.min(s_, axis=1)  # (C,)
@@ -318,22 +359,29 @@ def _make_kernel(cfg: PLICPConfig, n: int, m: int, chunk: int):
                             ),
                             axis=1,
                         )  # (C,)
-                        dmin_s[p, pl.ds(off, C)] = sminc + wn[p]
-                        # all 9 gathers as ONE MXU matmul: the one-hot is
-                        # built TRANSPOSED (sublane iota == argmin
-                        # broadcast) so (9, M) @ (M, C) lands directly in
-                        # gath_s layout with no transpose. Each one-hot
-                        # column selects a single f32 value (×1.0 + zeros),
-                        # so the gather is bit-exact.
-                        onehotT = (miota == idx[None, :]).astype(sx.dtype)
-                        # HIGHEST is correctness, not preference: DEFAULT
-                        # truncates the gathered f32 COORDINATES through
-                        # single-pass bf16 (a 50 m coordinate loses ~0.1 m),
-                        # exactly the LM kernel's round-3 finding
-                        gath_s[p, :, pl.ds(off, C)] = jnp.dot(
-                            rows_s[p], onehotT,
+                        # all 9 gathers as ONE bit-exact MXU matmul: the
+                        # one-hot is built TRANSPOSED (sublane iota ==
+                        # argmin broadcast) so (27, M) @ (M, C) lands
+                        # directly in gath layout; hi+mid+lo recombination
+                        # is error-free (each partial sum is exactly
+                        # representable by construction of the split).
+                        onehotT = (miota == idx[None, :]).astype(
+                            jnp.bfloat16
+                        )
+                        o27 = jnp.dot(
+                            rows27_s[p], onehotT,
                             preferred_element_type=sx.dtype,
-                            precision=jax.lax.Precision.HIGHEST,
+                        )  # (27, C)
+                        g = (o27[0:9] + o27[9:18]) + o27[18:27]
+                        gath_s[p, :, pl.ds(off, C)] = g
+                        # the dmin<max_d2 inlier gate recomputed EXACTLY on
+                        # the VPU from the gathered NN point — the gate no
+                        # longer depends on matmul precision at all (the
+                        # round-4 outdoor failure was this gate flipping)
+                        dmin_s[p, pl.ds(off, C)] = (
+                            (wxc[p] - g[0]) ** 2
+                            + (wyc[p] - g[1]) ** 2
+                            + (1.0 - g[2]) * BIG
                         )
                 return 0
 
@@ -575,7 +623,11 @@ def plicp_match_fused(
     )
     tgt_valid = tgt_valid & jnp.all(jnp.isfinite(tgt_pts), axis=-1)
 
-    # pad the beam axis to a multiple of the kernel chunk (invalid beams)
+    # pad the beam axes to a multiple of the kernel chunk (invalid beams).
+    # M-padding keeps the bf16 split scratches lane-aligned (Mosaic rejects
+    # unaligned bf16 lane extents); pad beams are invalid, so they lose the
+    # NN by the BIG penalty and give the same validity-0 neighbor edge
+    # semantics as the shifted-array clamp.
     npad = (-N) % 128
     if npad:
         src_pts = jnp.concatenate(
@@ -585,6 +637,15 @@ def plicp_match_fused(
             [src_valid, jnp.zeros((B, npad), bool)], 1
         )
         N = N + npad
+    mpad = (-M) % 128
+    if mpad:
+        tgt_pts = jnp.concatenate(
+            [tgt_pts, jnp.zeros((B, mpad, 2), dtype)], 1
+        )
+        tgt_valid = jnp.concatenate(
+            [tgt_valid, jnp.zeros((B, mpad), bool)], 1
+        )
+        M = M + mpad
 
     # small batches (single-pair odometry steps) stay at the minimum f32
     # sublane tile of 8 to avoid padding work; large batches amortize the
@@ -691,7 +752,9 @@ def plicp_match_fused(
             pltpu.VMEM((P, N), dtype),
             pltpu.VMEM((P, N), dtype),
             pltpu.VMEM((P, 9, N), dtype),
-            pltpu.VMEM((P, 9, M), dtype),
+            pltpu.VMEM((P, 27, M), jnp.bfloat16),
+            pltpu.VMEM((P, 12, M), jnp.bfloat16),
+            pltpu.VMEM((P, 12, N), jnp.bfloat16),
             pltpu.VMEM((P, M), dtype),
         ],
         interpret=interpret,
