@@ -1063,6 +1063,11 @@ class KartoSLAM:
             "center": nrec.corrected_pose.copy(),
             "poses": poses,
             "idx": idx,
+            # raw BASE-frame odom pose: rec.odom_pose is sensor-frame
+            # (offset-composed in _make_record), so comparing it against
+            # the incoming base pose would never match for lasers with a
+            # mount offset — the reuse check needs the pre-offset value
+            "odom_base": np.asarray(odom_pose, np.float64).copy(),
             "ranges_bits": np.asarray(scan.ranges, np.float32)
             .view(np.int32).copy(),
         }
@@ -1111,7 +1116,7 @@ class KartoSLAM:
         spec = self._spec
         if (spec is not None and spec["sensor"] == sensor
                 and np.array_equal(
-                    spec["rec"].odom_pose,
+                    spec["odom_base"],
                     np.asarray(odom_pose, np.float64))
                 and np.array_equal(  # bitwise: ranges may carry NaN/inf
                     np.asarray(scan.ranges, np.float32).view(np.int32),

@@ -681,12 +681,21 @@ def offline_slam(
                             o[lane, 4:13].reshape(3, 3).astype(np.float64)
                             + floor
                         )
-                        anchor_edges[(level, int(t))] = (
-                            ref, int(t), mean, cov,
-                        )
+                        key = (level, int(t))
+                        prev = anchor_edges.get(key)
+                        if prev is None or not (
+                            np.array_equal(prev[2], mean)
+                            and np.array_equal(prev[3], cov)
+                        ):
+                            # only a NEW or CHANGED edge counts as this
+                            # sweep finding something — returning True off
+                            # the accumulated dict would keep anchor_rounds
+                            # re-running full sweeps + solves forever after
+                            # convergence
+                            any_edges = True
+                        anchor_edges[key] = (ref, int(t), mean, cov)
             if not anchor_edges:
                 continue
-            any_edges = True
             # solve BETWEEN levels: the long sweep's macro correction
             # re-centers the short sweep's search windows
             with timer.stage("solve"):

@@ -434,13 +434,13 @@ def mixed_schur_delta(
     M = schur_part.n_nodes
     dt = poses.dtype
     Hd, Hij, b = normal_equations(poses, ei, ej, means, infos, mask, M)
-    eye3 = jnp.eye(3, dtype=dt)
-    Hdd0 = Hd + 1e-12 * eye3
-    diag_idx = jnp.arange(3)
-    Hdd = Hdd0.at[:, diag_idx, diag_idx].mul(1.0 + lam)
-    fm = free_mask.astype(dt)
+    from tpu_slam.solver.schur import (
+        _damped_diag, schur_apply, schur_factor)
 
-    from tpu_slam.solver.schur import schur_apply, schur_factor
+    # jitter + damping via the SAME helper as the f32 schur_delta path —
+    # the two Schur paths must optimize the identical damped system
+    Hdd = _damped_diag(Hd, lam)
+    fm = free_mask.astype(dt)
 
     # the PRECONDITIONER factors at a FLOORED damping: as LM converges
     # λ → 1e-9 and the system's f32 condition explodes — the f32 Cholesky
@@ -450,7 +450,7 @@ def mixed_schur_delta(
     # converges to the exact delta; the floored factor only costs a few
     # extra (cheap, matvec-only) iterations.
     lam32 = jnp.maximum(lam, 1e-5)
-    Hdd32 = Hdd0.at[:, diag_idx, diag_idx].mul(1.0 + lam32)
+    Hdd32 = _damped_diag(Hd, lam32)
     fac = schur_factor(
         schur_part, Hdd32.astype(jnp.float32), Hij.astype(jnp.float32),
         free_mask,

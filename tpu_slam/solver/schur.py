@@ -279,18 +279,17 @@ def _scatter_blocks(Aflat, bi, bj, blocks):
     return Aflat.at[R, C].add(blocks)
 
 
-def _submap_local(
-    Hdd, Hij, b, free_mask, int_nodes, int_valid,
+def _assemble_submap_AB(
+    Hdd, Hij, free_mask, int_nodes, int_valid,
     ii_edge, ii_li, ii_lj, ii_valid,
     is_edge, is_li, is_sj, is_transpose, is_valid,
     ns,
 ):
-    """Per-submap dense assembly + factorization + Schur contribution.
-
-    All inputs are this submap's slices (no leading S axis). Returns
-    (Sc_part (3ns, 3ns), rhs_part (3ns,), y (3m,), YB (3m, 3ns),
-    fm_int (m,)). All matrices assembled FLAT (see _scatter_blocks).
-    """
+    """Shared per-submap assembly: gauge-fixed internal block A (3m, 3m)
+    and internal→separator coupling B (3m, 3ns), both FLAT (see
+    _scatter_blocks). Single source of truth for the f32 solve path
+    (_submap_local) AND the mixed-precision factor path (schur_factor) —
+    a fix to either assembly must land in both."""
     dt = Hdd.dtype
     m = int_nodes.shape[0]
 
@@ -318,7 +317,27 @@ def _submap_local(
     # internal-side gauge; the separator-side mask is applied by the caller
     # on the reduced system (fixed separators get zero columns there)
     B = B * fm3[:, None]
+    return A, B, fm_int
 
+
+def _submap_local(
+    Hdd, Hij, b, free_mask, int_nodes, int_valid,
+    ii_edge, ii_li, ii_lj, ii_valid,
+    is_edge, is_li, is_sj, is_transpose, is_valid,
+    ns,
+):
+    """Per-submap dense assembly + factorization + Schur contribution.
+
+    All inputs are this submap's slices (no leading S axis). Returns
+    (Sc_part (3ns, 3ns), rhs_part (3ns,), y (3m,), YB (3m, 3ns),
+    fm_int (m,)). All matrices assembled FLAT (see _scatter_blocks).
+    """
+    m = int_nodes.shape[0]
+    A, B, fm_int = _assemble_submap_AB(
+        Hdd, Hij, free_mask, int_nodes, int_valid,
+        ii_edge, ii_li, ii_lj, ii_valid,
+        is_edge, is_li, is_sj, is_transpose, is_valid, ns,
+    )
     bi = (b[int_nodes] * fm_int[:, None]).reshape(3 * m)
 
     L = jax.scipy.linalg.cho_factor(A)
@@ -333,25 +352,9 @@ def _submap_local(
 
 def _sep_system(part, Hdd, Hij, b, free_mask, ns):
     """Replicated separator-side pieces: damped gauge-fixed C and b_sep.
-    Assembled FLAT (3ns, 3ns) — see _scatter_blocks."""
-    dt = Hdd.dtype
-    sep_nodes = jnp.asarray(part.sep_nodes)
-    fm_sep = (
-        jnp.asarray(part.sep_valid) & free_mask[sep_nodes]
-    ).astype(dt)
-    fm3 = jnp.repeat(fm_sep, 3)
-    isn = jnp.arange(ns)
-    C = jnp.zeros((3 * ns, 3 * ns), dt)
-    C = _scatter_blocks(C, isn, isn, Hdd[sep_nodes])
-    wss = jnp.asarray(part.ss_valid).astype(dt)[:, None, None]
-    Hss = Hij[jnp.asarray(part.ss_edge)] * wss
-    si = jnp.asarray(part.ss_si)
-    sj = jnp.asarray(part.ss_sj)
-    C = _scatter_blocks(C, si, sj, Hss)
-    C = _scatter_blocks(C, sj, si, jnp.swapaxes(Hss, -1, -2))
-    C = C * fm3[:, None] * fm3[None, :]
-    C = C + jnp.diag(1.0 - fm3)
-    b_sep = b[sep_nodes] * fm_sep[:, None]
+    Assembly shared with the factor path via _sep_matrix."""
+    C, fm_sep, _fm3 = _sep_matrix(part, Hdd, Hij, free_mask, ns)
+    b_sep = b[jnp.asarray(part.sep_nodes)] * fm_sep[:, None]
     return C, b_sep.reshape(-1), fm_sep
 
 
@@ -392,26 +395,10 @@ def schur_factor(part: SchurPartition, Hdd, Hij, free_mask):
 
     def _one(Sc_acc, inp):
         (a, v, iie, iili, iilj, iiv, ise, isli, issj, ist, isv) = inp
-        m = a.shape[0]
-        fm_int = (v & free_mask[a]).astype(dt)
-        fm3 = jnp.repeat(fm_int, 3)
-        im = jnp.arange(m)
-        A = jnp.zeros((3 * m, 3 * m), dt)
-        A = _scatter_blocks(A, im, im, Hdd[a])
-        wii = iiv.astype(dt)[:, None, None]
-        Hii = Hij[iie] * wii
-        A = _scatter_blocks(A, iili, iilj, Hii)
-        A = _scatter_blocks(A, iilj, iili, jnp.swapaxes(Hii, -1, -2))
-        A = A * fm3[:, None] * fm3[None, :]
-        A = A + jnp.diag(1.0 - fm3)
-        wis = isv.astype(dt)[:, None, None]
-        His = Hij[ise]
-        His = jnp.where(
-            ist[:, None, None], jnp.swapaxes(His, -1, -2), His
-        ) * wis
-        B = jnp.zeros((3 * m, 3 * ns), dt)
-        B = _scatter_blocks(B, isli, issj, His)
-        B = B * fm3[:, None]
+        A, B, fm_int = _assemble_submap_AB(
+            Hdd, Hij, free_mask, a, v, iie, iili, iilj, iiv,
+            ise, isli, issj, ist, isv, ns,
+        )
         L, _ = jax.scipy.linalg.cho_factor(A)
         YB = jax.scipy.linalg.cho_solve((L, False), B)
         return Sc_acc + B.T @ YB, (L, B, YB, fm_int)
