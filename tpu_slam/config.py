@@ -376,6 +376,11 @@ class OfflineConfig:
     anchor_min_response: float = 0.5
     anchor_rounds: int = 1  # sweeps per macro pass (the offline macro
     # schedule alternates loop detection and anchor sweeps anyway)
+    macro_rounds: int = 4  # max anchor-sweep/loop-redetect alternations;
+    # each round re-gathers loop candidates from the anchor-corrected
+    # poses (the pre-anchor warp can exceed the gather radius) and
+    # re-anchors against the re-solved shape; stops early once neither
+    # finds anything new
     # long-lever anchor level: the short span can only see warp gradients
     # above resolution/span (0.01 m / 6.5 m ≈ 1.5e-3 m/m — the measured
     # outdoor warp is right AT that limit, so half the short anchors
