@@ -71,6 +71,29 @@ def main():
           f"{len(acc)} accepted, {slam.loop_closures} closures)",
           flush=True)
 
+    # timed rung for SCALING.md §3 (round-4 VERDICT item 7): wall per
+    # accepted scan of the FULL mesh mission, warm (the correctness run
+    # above compiled every program), best-of-2
+    if "--timed" in sys.argv:
+        import time
+
+        best, acc_t, slam_t = None, [], None
+        for _ in range(2):
+            slam_t = KartoSLAM(cfg, mesh=mesh)
+            t0 = time.perf_counter()
+            acc_t = slam_t.run(scans, odom)
+            slam_t.flush()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ms = best * 1e3 / max(len(acc_t), 1)
+        print(f"proc {pid}: timed_karto wall_s={best:.2f} "
+              f"accepted={len(acc_t)} ms_per_accepted={ms:.1f}",
+              flush=True)
+        if pid == 0:
+            print("stage timing:\n  "
+                  + slam_t.timer.report().replace("\n", "\n  "),
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
