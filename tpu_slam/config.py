@@ -376,6 +376,14 @@ class OfflineConfig:
     anchor_min_response: float = 0.5
     anchor_rounds: int = 1  # sweeps per macro pass (the offline macro
     # schedule alternates loop detection and anchor sweeps anyway)
+    max_solver_loops: int = 192  # cap on loop edges fed to the solver
+    # (full set stays in the result): same-revisit loops are
+    # near-duplicates (826 -> 104 moved the outdoor f64 optimum by
+    # 0.5 mm) but every endpoint is a Schur separator node
+    anchor_drop_min_loops: int = 4  # drop anchor edges from the FINAL
+    # solve when at least this many loop closures carry the global
+    # structure (anchors are bootstrap-only: measured 0.110 -> 0.003 m on
+    # the 2-lap outdoor graph — see offline_slam's macro schedule)
     macro_rounds: int = 4  # max anchor-sweep/loop-redetect alternations;
     # each round re-gathers loop candidates from the anchor-corrected
     # poses (the pre-anchor warp can exceed the gather radius) and

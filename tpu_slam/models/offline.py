@@ -413,6 +413,31 @@ def offline_slam(
 
     anchor_edges: dict[int, tuple[int, int, np.ndarray, np.ndarray]] = {}
 
+    def _thin_loops(loop_edges: list[LoopEdge]) -> list[LoopEdge]:
+        """Cap the loop set the SOLVER sees (the full set stays in the
+        result). Loop edges over the same revisit are near-duplicates:
+        measured on the 2-lap outdoor graph, 826 → 104 loops moves the
+        f64 optimum only 0.0031 → 0.0036 m, while every loop endpoint is
+        a Schur separator node — the uncapped set exploded ns to
+        thousands and the reduced Cholesky to tens of seconds. Keep the
+        best edge (highest inlier fraction) per (i, j) NMS cell, then
+        evenly subsample to the cap."""
+        cap = ocfg.max_solver_loops
+        if len(loop_edges) <= cap:
+            return loop_edges
+        g = max(ocfg.loop_nms_gap, 1)
+        best: dict[tuple[int, int], LoopEdge] = {}
+        for e in loop_edges:
+            c = (e.i // g, e.j // g)
+            b = best.get(c)
+            if b is None or e.inlier_frac > b.inlier_frac:
+                best[c] = e
+        kept = sorted(best.values(), key=lambda e: (e.i, e.j))
+        if len(kept) > cap:
+            idx = np.linspace(0, len(kept) - 1, cap).round().astype(int)
+            kept = [kept[k] for k in sorted(set(idx.tolist()))]
+        return kept
+
     def _build_solver(
         loop_edges: list[LoopEdge], init_poses: np.ndarray
     ) -> PoseGraphSolver:
@@ -422,6 +447,7 @@ def offline_slam(
         # chain
         # the mesh (when given) also distributes the back-end: edges
         # sharded, psum-assembled LM (solver/pose_graph.py)
+        loop_edges = _thin_loops(loop_edges)
         s = PoseGraphSolver(cfg.solver, mesh=mesh)
         for k in range(T):
             s.add_node(k, init_poses[k])
@@ -715,6 +741,7 @@ def offline_slam(
     # after one fixed refresh left 0.118 m on the table (round-4 verdict
     # item 4).
     _loop_rounds()
+    n_anchors_used = 0
     if anchor_on:
         for _macro in range(ocfg.macro_rounds):
             found_anchor = False
@@ -726,6 +753,26 @@ def offline_slam(
             _loop_rounds()  # re-detect from anchor-corrected poses
             if not found_anchor and len(loops) == n_loops:
                 break  # a full alternation found nothing new — converged
+        n_anchors_used = len(anchor_edges)
+        # Anchors are a BOOTSTRAP scaffold, not information: they match
+        # each scan against its own recent submap POSED AT CURRENT
+        # ESTIMATES, so their edges re-encode the chain's correlated bias
+        # plus the correlative lattice quantization — self-referential.
+        # Once loop closures exist they carry the global structure with
+        # independent information, and the anchors actively fight them:
+        # measured on the 2-lap outdoor graph (round 5, f64 oracle
+        # ablation), the full edge set solves to ATE 0.110 m while the
+        # SAME graph without its 932 anchor edges solves to 0.003 m —
+        # down-weighting doesn't help (x0.001 still 0.055: the bias is
+        # systematic, shared by all 932 edges). So the final solve drops
+        # them whenever enough loops were accepted; with no (or too few)
+        # loops they remain the only warp control and are kept.
+        if anchor_edges and len(loops) >= ocfg.anchor_drop_min_loops:
+            anchor_edges.clear()
+            with timer.stage("solve"):
+                solver = _build_solver(loops, poses)
+                solver.compute()
+                poses = solver.get_poses()
 
     return OfflineResult(
         poses=poses,
@@ -735,6 +782,6 @@ def offline_slam(
         solver=solver,
         candidates_tried=len(tried),
         timer=timer,
-        anchors_accepted=len(anchor_edges),
+        anchors_accepted=max(n_anchors_used, len(anchor_edges)),
         anchors_tried=anchors_tried,
     )

@@ -167,10 +167,12 @@ def _make_assemble_kernel(W: int, C: int):
             base = (bank * W + (d - 1)) * SLOT_ROWS
             return [src[base + i: base + i + 1] for i in range(SLOT_ROWS)]
 
+        sl = sl_ref[...]
+        slp = slp_ref[...]
         for bank in range(NBANKS):
             for d in range(1, W + 1):
                 # LOW-side pass: this lane is the edge's low endpoint
-                rows = slot_rows(sl_ref[...], bank, d)
+                rows = slot_rows(sl, bank, d)
                 hi = _gather_up(pT3, pT3n, d)
                 W6, flip, c, s, drx, dry, r0, r1, r2 = _edge_terms(
                     rows, pT3, hi)
@@ -188,7 +190,7 @@ def _make_assemble_kernel(W: int, C: int):
                 # recomputed from down-gathered low-side inputs so every
                 # write stays lane-local (no cross-chunk scatter)
                 rows_d = [
-                    gather_down(rw, slot_rows(slp_ref[...], bank, d)[i], d)
+                    gather_down(rw, slot_rows(slp, bank, d)[i], d)
                     for i, rw in enumerate(rows)
                 ]
                 lo_d = gather_down(pT3, pT3p, d)
@@ -275,9 +277,10 @@ def _make_cost_kernel(W: int, C: int):
             base = (bank * W + (d - 1)) * SLOT_ROWS
             return [src[base + i: base + i + 1] for i in range(SLOT_ROWS)]
 
+        sl = sl_ref[...]
         for bank in range(NBANKS):
             for d in range(1, W + 1):
-                rows = slot_rows(sl_ref[...], bank, d)
+                rows = slot_rows(sl, bank, d)
                 hi = _gather_up(pT3, pT3n, d)
                 W6, _f, _c, _s, _dx, _dy, r0, r1, r2 = _edge_terms(
                     rows, pT3, hi)

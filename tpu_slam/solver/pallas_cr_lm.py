@@ -556,7 +556,13 @@ def cr_vmem_bytes(W: int, K: int) -> int:
 
 
 def cr_lm_applicable(W: int, K: int) -> bool:
-    return (K & (K - 1)) == 0 and K >= 128 and cr_vmem_bytes(
+    """In-VMEM monolith eligibility. K is capped at 512 on top of the
+    VMEM gate: the kernel's unrolled Mosaic program compiles in ~10 s at
+    K=256 but >30 min at K=2048 (round-5 probe — lane-register count
+    scales the instruction stream ~K/128), so larger lane counts go to
+    the HBM-streamed pipeline (solver/cr_stream.py) even when they would
+    fit VMEM."""
+    return (K & (K - 1)) == 0 and 128 <= K <= 512 and cr_vmem_bytes(
         W, K) <= 13_500_000
 
 
