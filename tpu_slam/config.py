@@ -263,6 +263,13 @@ class SolverConfig:
     # numbers ~1e6) — f64 Schur 0.651, matching the f64 host oracle
     # exactly, at 1.7 s per warm solve on v5e. 0 disables.
     f64_schur_above: int = 3000
+    host_direct_fallback: bool = True  # the non-bandable graphs above
+    # f64_schur_above solve on the HOST in f64 sparse-direct LM (the
+    # reference's own CSparse regime, spa2d.cpp:505): their soft global
+    # modes need f64 factorization the MXU doesn't have, and the mixed
+    # f32-factor device path either crawls (floored damping) or caps out
+    # its PCG — measured 8.4 s & stalled vs 0.3 s & exact on host
+    # (round 5). False restores the device mixed-Schur path.
     # whole-doSPA fused Pallas kernel (solver/pallas_lm.py): single-device
     # f32 solves on TPU below the VMEM one-hot cap run the entire LM loop
     # in one launch. Shipped at HIGHEST precision: 111 ms on the

@@ -497,6 +497,133 @@ def mixed_schur_delta(
     return x
 
 
+def _host_direct_lm(poses, ei, ej, means, infos, mask, free,
+                    iters, lam0, sq_min_delta):
+    """f64 sparse-direct LM on the HOST — the non-bandable ill-conditioned
+    regime.
+
+    The offline mission's global graphs (chain + skip + loop edges, no
+    band under RCM) have soft global-warp modes with eigenvalues ~1e8
+    below the diagonal: exact Newton steps need f64 factorization, which
+    the MXU does not have — the mixed f32-factor/f64-PCG path either
+    floors the damping (λ·diag ≫ σ_soft → the LM crawls: measured cost
+    7.4 after 113 iterations vs the f64 optimum 4.45) or caps out its PCG
+    on the preconditioner mismatch in exactly those modes. This is the
+    reference's own CSparse regime (spa2d.cpp:505): a low-FLOP irregular
+    sparse factorization, which the host does in ~0.3 s where the device
+    crawl took 8.4 s. The device keeps every FLOP-heavy path (matching,
+    bandable direct solves, distributed LM); this arm is the final-polish
+    solver for the offline pipeline's irregular global graphs."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from tpu_slam import geometry_np as gnp
+
+    p = poses.astype(np.float64).copy()
+    M = p.shape[0]
+    E = len(ei)
+    w = mask.astype(np.float64)
+    infw = infos.astype(np.float64) * w[:, None, None]
+    fidx = np.nonzero(free)[0]
+    col_of = -np.ones(M, np.int64)
+    col_of[fidx] = np.arange(len(fidx))
+    nf = len(fidx)
+
+    def residuals(q):
+        rel = gnp.compose(gnp.inverse(q[ei]), q[ej])
+        r = rel - means
+        r[:, 2] = np.arctan2(np.sin(r[:, 2]), np.cos(r[:, 2]))
+        return r
+
+    def cost(q):
+        r = residuals(q)
+        return float(np.einsum("ei,eij,ej->", r, infw, r))
+
+    # static COO index pattern: 4 blocks of 3x3 per edge on free nodes
+    bi = col_of[ei]
+    bj = col_of[ej]
+    r3 = np.arange(3)
+
+    def block_idx(a, b):
+        n = len(a)
+        rows = np.broadcast_to(
+            3 * a[:, None, None] + r3[None, :, None], (n, 3, 3))
+        cols = np.broadcast_to(
+            3 * b[:, None, None] + r3[None, None, :], (n, 3, 3))
+        return rows, cols
+
+    lam, laminc = float(lam0), 2.0
+    c = cost(p)
+    cost0 = c
+    good = 0
+    for _ in range(iters):
+        r = residuals(p)
+        ci, si = np.cos(p[ei, 2]), np.sin(p[ei, 2])
+        dx = p[ej, 0] - p[ei, 0]
+        dy = p[ej, 1] - p[ei, 1]
+        Ji = np.zeros((E, 3, 3))
+        Jj = np.zeros((E, 3, 3))
+        Ji[:, 0, 0] = -ci
+        Ji[:, 0, 1] = -si
+        Ji[:, 0, 2] = -si * dx + ci * dy
+        Ji[:, 1, 0] = si
+        Ji[:, 1, 1] = -ci
+        Ji[:, 1, 2] = -ci * dx - si * dy
+        Ji[:, 2, 2] = -1.0
+        Jj[:, 0, 0] = ci
+        Jj[:, 0, 1] = si
+        Jj[:, 1, 0] = -si
+        Jj[:, 1, 1] = ci
+        Jj[:, 2, 2] = 1.0
+        JiW = np.einsum("eba,ebc->eac", Ji, infw)
+        JjW = np.einsum("eba,ebc->eac", Jj, infw)
+        Hii = np.einsum("eab,ebc->eac", JiW, Ji)
+        Hjj = np.einsum("eab,ebc->eac", JjW, Jj)
+        Hij = np.einsum("eab,ebc->eac", JiW, Jj)
+        g = np.zeros((M, 3))
+        np.add.at(g, ei, np.einsum("eab,eb->ea", JiW, r))
+        np.add.at(g, ej, np.einsum("eab,eb->ea", JjW, r))
+        rows_l, cols_l, data_l = [], [], []
+        for a, b, blk in (
+            (bi, bi, Hii), (bj, bj, Hjj),
+            (bi, bj, Hij), (bj, bi, np.swapaxes(Hij, -1, -2)),
+        ):
+            ok = (a >= 0) & (b >= 0)
+            rr, cc = block_idx(a[ok], b[ok])
+            rows_l.append(rr.ravel())
+            cols_l.append(cc.ravel())
+            data_l.append(blk[ok].ravel())
+        H = sp.coo_matrix(
+            (np.concatenate(data_l),
+             (np.concatenate(rows_l), np.concatenate(cols_l))),
+            shape=(3 * nf, 3 * nf),
+        ).tocsc()
+        bvec = g[fidx].ravel()
+        # doSPA damping: diagonal ×(1+λ) + jitter (spa2d setupSys)
+        Hd = H + sp.diags(H.diagonal() * lam + 1e-12)
+        try:
+            step = spla.spsolve(Hd, -bvec)
+        except Exception:
+            step = np.zeros(3 * nf)
+        if not np.all(np.isfinite(step)):
+            step = np.zeros(3 * nf)
+        sq = float(step @ step)
+        cand = p.copy()
+        cand[fidx] += step.reshape(-1, 3)
+        cand[:, 2] = np.arctan2(np.sin(cand[:, 2]), np.cos(cand[:, 2]))
+        cn = cost(cand)
+        if sq < sq_min_delta:
+            break
+        if cn < c:
+            p, c = cand, cn
+            lam *= 0.5
+            good += 1
+        else:
+            lam *= laminc
+            laminc *= 2.0
+    return p, cost0, c, good
+
+
 def _lm_loop_program(
     p0, lam0, ei_d, ej_d, means_d, infos_d, mask_d, free_d, schur_part,
     *, M, use_dense, iters, cg_iterations, cg_tolerance, psum_axis=None,
@@ -531,10 +658,18 @@ def _lm_loop_program(
             if p.dtype == jnp.float64:
                 # mixed precision: f32 Schur factor + f64 PCG — the f64
                 # in-loop Cholesky variant crashed the TPU worker at
-                # outdoor separator counts (see mixed_schur_delta)
+                # outdoor separator counts (see mixed_schur_delta).
+                # λ is FLOORED at the factor's floor so preconditioner ≡
+                # operator: with the true λ → 1e-9 the mismatch
+                # concentrates in the softest (global-warp) modes and the
+                # capped PCG leaves exactly those unsolved — measured on
+                # the round-5 loops-only outdoor graph, the LM crawled to
+                # cost 7.4 in 113 iterations while the f64 oracle reaches
+                # 4.45 in 60. The floor is 1e-5 RELATIVE diagonal damping
+                # (diag ×(1+λ)) — negligible bias, exact deltas.
                 return mixed_schur_delta(
                     schur_part, p, ei_d, ej_d, means_d, infos_d,
-                    mask_d, lam, free_d,
+                    mask_d, jnp.maximum(lam, 1e-5), free_d,
                 )
             from tpu_slam.solver.schur import schur_delta
 
@@ -791,6 +926,21 @@ class PoseGraphSolver:
         if (self.mesh is None and self.dtype == jnp.float32
                 and cfg.f64_schur_above > 0
                 and self.num_nodes >= cfg.f64_schur_above):
+            if cfg.host_direct_fallback:
+                # see _host_direct_lm: these irregular ill-conditioned
+                # graphs need f64 factorization the MXU doesn't have; the
+                # host sparse direct solves them ~25x faster than the
+                # device's mixed-precision crawl AND exactly
+                p64, c0, c, good = _host_direct_lm(
+                    poses, ei[mask], ej[mask], means[mask], infos[mask],
+                    mask[mask], free, iters, cfg.initial_lambda,
+                    _sq_min_delta(cfg.convergence_delta, jnp.float64),
+                )
+                return PendingSolve(
+                    self,
+                    (p64, np.float64(c0), np.float64(c), np.int32(good)),
+                    self.num_nodes,
+                )
             return self._compute_f64_schur(
                 iters, poses, ei, ej, means, infos, mask, free, M, E
             )
