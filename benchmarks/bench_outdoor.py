@@ -112,13 +112,32 @@ def main():
     )
 
     if args.online:
+        import jax.numpy as jnp
+
         from tpu_slam.models.karto.pipeline import KartoSLAM
 
+        def probe_rtt(n=50):
+            """Median host→device→host round-trip of a trivial fetch: the
+            per-dispatch transport floor every synced stage pays through
+            the axon tunnel (VERDICT r4 item 5: stage walls must be
+            separable from tunnel variance to compare across sessions)."""
+            x = jnp.zeros((1,), jnp.float32) + 1.0
+            _ = np.asarray(x)
+            ts = []
+            for _i in range(n):
+                t = time.perf_counter()
+                _ = np.asarray(x + _i)
+                ts.append(time.perf_counter() - t)
+            return float(np.median(ts))
+
         slam = KartoSLAM(cfg)
+        rtt0 = probe_rtt()
         t0 = time.perf_counter()
         accepted = slam.run(scans, odom)
         slam.flush()
         wall = time.perf_counter() - t0
+        rtt1 = probe_rtt()
+        rtt = min(rtt0, rtt1)
         est = slam.trajectory()
         gt = seq.gt_poses[accepted]
         print(
@@ -127,14 +146,34 @@ def main():
             f"({1e3 * wall / max(len(accepted), 1):.0f} ms/accepted)",
             file=sys.stderr,
         )
-        print("stage timing:\n  "
-              + slam.timer.report().replace("\n", "\n  "), file=sys.stderr)
+        # RTT-normalized stage table: each synced stage's wall splits into
+        # the tunnel floor (count × RTT) and the residual device+host work.
+        tm = slam.timer
+        calls = sum(tm.counts.values())
+        lines = []
+        for k in sorted(tm.totals):
+            tot, cnt = tm.totals[k], tm.counts[k]
+            floor = cnt * rtt
+            lines.append(
+                f"{k}: {1e3 * tot / max(cnt, 1):.2f} ms/call ×{cnt} "
+                f"(total {tot:.2f}s, rtt floor {floor:.2f}s, "
+                f"device+host {max(tot - floor, 0.0):.2f}s)"
+            )
+        print(
+            f"tunnel RTT: {1e3 * rtt0:.2f} / {1e3 * rtt1:.2f} ms "
+            f"(pre/post, median of 50) — floor {calls * rtt:.1f}s over "
+            f"{calls} synced dispatches",
+            file=sys.stderr,
+        )
+        print("stage timing (rtt-normalized):\n  " + "\n  ".join(lines),
+              file=sys.stderr)
         ate_o = ate_rmse(odom[accepted], gt)
         ate_s = ate_rmse(est, gt)
         print(
             f"outdoor_online scans={len(traj)} accepted={len(accepted)} "
             f"closures={slam.loop_closures} wall_s={wall:.1f} "
             f"scans_per_sec={len(traj) / wall:.1f} "
+            f"rtt_ms={1e3 * rtt:.2f} "
             f"ate_odom_m={ate_o:.3f} ate_slam_m={ate_s:.3f}"
         )
     else:

@@ -48,7 +48,7 @@ from tpu_slam import geometry_np as gnp
 from tpu_slam.config import SLAMConfig
 from tpu_slam.data.scan import Scan
 from tpu_slam.parallel.distributed_step import (
-    make_batched_matcher, make_indexed_matcher,
+    make_chain_matcher, make_loop_selector, make_packed_indexed_matcher,
 )
 from tpu_slam.solver.pose_graph import PoseGraphSolver
 
@@ -295,8 +295,55 @@ def offline_slam(
     if T < 2:
         raise ValueError("offline_slam needs at least two scans")
 
-    match = make_batched_matcher(cfg, mesh)
-    imatch = make_indexed_matcher(cfg, mesh)
+    pmatch = make_packed_indexed_matcher(cfg, mesh)
+
+    # mission scan store: the scans cross the tunnel ONCE; every match
+    # stage (chain, skip, loop) addresses them by row index. Raw missions
+    # upload RANGES (one f32/beam) + a static (N, 2) beam-direction table
+    # and expand to Cartesian on device — a third of the bytes of a points
+    # store (distributed_step._gather_scan); motion-corrected missions
+    # have per-scan directions, so they upload points directly.
+    Ts = _bucket(T, lo=16)
+    storev = np.zeros((Ts,) + valid.shape[1:], bool)
+    storev[:T] = valid
+    # a fixed-mount laser shares one beam-direction row across the mission
+    # (make_scan broadcasts it); only then is the ranges layout valid
+    shared_dirs = corrected_pts is None and (
+        angles.ndim == 1 or bool(np.all(angles == angles[:1]))
+    )
+    if shared_dirs:
+        a0 = angles if angles.ndim == 1 else angles[0]
+        store = np.zeros((Ts,) + valid.shape[1:], np.float32)
+        store[:T] = np.where(valid & np.isfinite(ranges), ranges, 0.0)
+        dirs = np.stack(
+            [np.cos(a0), np.sin(a0)], axis=-1
+        ).astype(np.float32)
+    else:
+        store = np.zeros((Ts,) + pts.shape[1:], np.float32)
+        store[:T] = pts
+        dirs = np.zeros((1, 2), np.float32)  # unused for 3-D stores
+    d_store = jnp.asarray(store)
+    d_storev = jnp.asarray(storev)
+    d_dirs = jnp.asarray(dirs)
+
+    def pmatch_np(src_idx, tgt_idx, guesses):
+        """Packed indexed match with bucket-padded (B,) index batches.
+        Pads match scan 0 against itself — discarded rows. Returns the
+        (B, 14) packed result as ONE host array (a single D2H fetch:
+        each fetch pays a full tunnel RTT)."""
+        B = len(src_idx)
+        Bp = _bucket(B)
+        si = np.zeros(Bp, np.int32)
+        ti = np.zeros(Bp, np.int32)
+        g = np.zeros((Bp, 3), np.float32)
+        si[:B] = src_idx
+        ti[:B] = tgt_idx
+        g[:B] = guesses
+        out = pmatch(
+            d_store, d_storev, d_dirs, jnp.asarray(si), jnp.asarray(ti),
+            jnp.asarray(g),
+        )
+        return np.asarray(out, np.float64)[:B]
 
     # 1. consecutive odometry chain, one batched call --------------------
     if odom is not None:
@@ -309,26 +356,50 @@ def offline_slam(
     floor = np.diag(
         [ocfg.cov_floor_xy**2, ocfg.cov_floor_xy**2, ocfg.cov_floor_theta**2]
     )
-    # pad the pair batch to a power-of-two bucket: shapes are reused across
-    # missions, and sharded batches stay divisible by the mesh size
     Bc = T - 1
-    Bcp = _bucket(Bc)
-
-    def padb(a):
-        out = np.zeros((Bcp,) + a.shape[1:], a.dtype)
-        out[:Bc] = a
-        return jnp.asarray(out)
-
-    with timer.stage("chain_match"):
-        res = match(
-            padb(pts[1:]), padb(valid[1:]),
-            padb(pts[:-1]), padb(valid[:-1]),
-            padb(guesses),
-        )
-        chain_rels = np.asarray(res.pose, np.float64)[:Bc]
-    chain_covs_raw = np.asarray(res.covariance, np.float64)[:Bc]
+    pose0 = np.zeros(3) if odom is None else np.asarray(odom[0], np.float64)
+    if mesh is None:
+        # 1.+2. fused: packed chain match + on-device log-depth pose
+        # integration, ONE dispatch and ONE fetch (see make_chain_matcher)
+        cmatch = make_chain_matcher(cfg)
+        Bp = _bucket(Bc)
+        si = np.zeros(Bp, np.int32)
+        ti = np.zeros(Bp, np.int32)
+        g = np.zeros((Bp, 3), np.float32)
+        si[:Bc] = np.arange(1, T)
+        ti[:Bc] = np.arange(0, T - 1)
+        g[:Bc] = guesses
+        with timer.stage("chain_match"):
+            out = np.asarray(
+                cmatch(
+                    d_store, d_storev, d_dirs, jnp.asarray(si),
+                    jnp.asarray(ti), jnp.asarray(g),
+                    jnp.asarray(pose0, jnp.float32),
+                ),
+                np.float64,
+            )
+            packed = out[:Bc]
+            chain_poses = out[Bp : Bp + T, :3]
+    else:
+        with timer.stage("chain_match"):
+            packed = pmatch_np(
+                np.arange(1, T, dtype=np.int64),
+                np.arange(0, T - 1, dtype=np.int64),
+                guesses,
+            )
+        # 2. integrate (log-depth associative scan) ----------------------
+        with timer.stage("integrate"):
+            chain_poses = np.asarray(
+                geo.compose_chain(
+                    jnp.asarray(pose0, jnp.float32),
+                    jnp.asarray(packed[:, :3], jnp.float32),
+                ),
+                np.float64,
+            )
+    chain_rels = packed[:, :3]
+    chain_covs_raw = packed[:, 5:14].reshape(Bc, 3, 3)
     chain_covs = chain_covs_raw + floor
-    chain_errs = np.asarray(res.error, np.float64)[:Bc]
+    chain_errs = packed[:, 3]
     # per-step drift variance for the PCM cycle allowance: the RAW GN
     # covariance (the floor models systematic per-match bias, not random
     # walk, and would swamp the allowance over long chain segments)
@@ -341,17 +412,6 @@ def offline_slam(
         ocfg.alias_error_mult
         * float(np.median(chain_errs[np.isfinite(chain_errs)])),
     )
-
-    # 2. integrate (log-depth associative scan) --------------------------
-    pose0 = np.zeros(3) if odom is None else np.asarray(odom[0], np.float64)
-    with timer.stage("integrate"):
-        chain_poses = np.asarray(
-            geo.compose_chain(
-                jnp.asarray(pose0, jnp.float32),
-                jnp.asarray(chain_rels, jnp.float32),
-            ),
-            np.float64,
-        )
 
     # 2b. multi-stride skip edges: chain stiffening ----------------------
     # (see OfflineConfig.skip_strides) — match t against t+s directly so
@@ -375,27 +435,15 @@ def offline_slam(
     if skip_pairs_i:
         sp = np.concatenate(skip_pairs_i)
         si, sj = sp[:, 0], sp[:, 1]
-        Bs = len(si)
-        Bsp = _bucket(Bs)
         sguess = gnp.relative(chain_poses[si], chain_poses[sj]).astype(
             np.float32
         )
-
-        def pads(a):
-            out = np.zeros((Bsp,) + a.shape[1:], a.dtype)
-            out[:Bs] = a
-            return jnp.asarray(out)
-
         with timer.stage("skip_match"):
-            sres = match(
-                pads(pts[sj]), pads(valid[sj]),
-                pads(pts[si]), pads(valid[si]),
-                pads(sguess),
-            )
-            srels = np.asarray(sres.pose, np.float64)[:Bs]
-        scovs = np.asarray(sres.covariance, np.float64)[:Bs] + floor
-        serrs = np.asarray(sres.error, np.float64)[:Bs]
-        sinl = np.asarray(sres.num_inliers, np.float64)[:Bs]
+            spk = pmatch_np(sj, si, sguess)
+        srels = spk[:, :3]
+        scovs = spk[:, 5:14].reshape(-1, 3, 3) + floor
+        serrs = spk[:, 3]
+        sinl = spk[:, 4]
         sfrac = sinl / np.maximum(
             valid[sj].sum(axis=-1).astype(np.float64), 1.0
         )
@@ -449,18 +497,20 @@ def offline_slam(
         # sharded, psum-assembled LM (solver/pose_graph.py)
         loop_edges = _thin_loops(loop_edges)
         s = PoseGraphSolver(cfg.solver, mesh=mesh)
-        for k in range(T):
-            s.add_node(k, init_poses[k])
-        for k in range(T - 1):
-            s.add_constraint(
-                k, k + 1, chain_rels[k], covariance=chain_covs[k]
+        s.add_nodes(range(T), init_poses)
+        s.add_constraints(
+            np.arange(T - 1), np.arange(1, T), chain_rels,
+            covariances=chain_covs,
+        )
+        extra = list(skip_edges) + list(anchor_edges.values()) + [
+            (e.i, e.j, e.mean, e.covariance) for e in loop_edges
+        ]
+        if extra:
+            s.add_constraints(
+                [t[0] for t in extra], [t[1] for t in extra],
+                np.asarray([t[2] for t in extra]),
+                covariances=np.asarray([t[3] for t in extra]),
             )
-        for i, j, m, c in skip_edges:
-            s.add_constraint(i, j, m, covariance=c)
-        for i, j, m, c in anchor_edges.values():
-            s.add_constraint(i, j, m, covariance=c)
-        for e in loop_edges:
-            s.add_constraint(e.i, e.j, e.mean, covariance=e.covariance)
         return s
 
     seeds = _seed_lattice(ocfg)
@@ -501,65 +551,83 @@ def offline_slam(
         ).astype(np.float32)
         g = rel_pred[:, None, :] + seeds[None, :, :]  # (C, S, 3)
         B = C * S
-        Bp = _bucket(B)
-        # upload each unique candidate scan ONCE; the (C·S) multi-start
-        # batch is gathered on device from the table by row index
-        uniq, inv = np.unique(np.concatenate([ci, cj]), return_inverse=True)
-        U = _bucket(len(uniq), lo=16)
-        table = np.zeros((U,) + pts.shape[1:], np.float32)
-        tablev = np.zeros((U,) + valid.shape[1:], bool)
-        table[: len(uniq)] = pts[uniq]
-        tablev[: len(uniq)] = valid[uniq]
-        li, lj = inv[:C], inv[C:]
-        si = np.zeros(Bp, np.int32)
-        ti = np.zeros(Bp, np.int32)
-        gb = np.zeros((Bp, 3), np.float32)
-        si[:B] = np.repeat(lj, S)
-        ti[:B] = np.repeat(li, S)
-        gb[:B] = g.reshape(B, 3)
+        # the (C·S) multi-start batch is gathered on device from the
+        # mission store by row index — no per-round scan upload at all.
+        # 4.+5. fused on device when unsharded: match + best-seed argmin +
+        # inlier/basin/error gates in ONE dispatch, fetching (C, 16)
+        # winner rows instead of all C·S packed rows (make_loop_selector;
+        # the basin gate rejects confident-but-aliased optima that walked
+        # outside the seeded lattice — measured: true corrections land
+        # within drift scale of the prediction, aliases 0.7-0.9 m out)
         with timer.stage("loop_match"):
-            mres = imatch(
-                jnp.asarray(table), jnp.asarray(tablev),
-                jnp.asarray(si), jnp.asarray(ti), jnp.asarray(gb),
-            )
-            merr = np.asarray(mres.error, np.float64)[:B].reshape(C, S)
-            minl = np.asarray(mres.num_inliers, np.float64)[:B].reshape(C, S)
-            mpose = np.asarray(mres.pose, np.float64)[:B].reshape(C, S, 3)
-            mcov = np.asarray(
-                mres.covariance, np.float64
-            )[:B].reshape(C, S, 3, 3)
+            if mesh is None:
+                lsel = make_loop_selector(cfg, S)
+                Cp = _bucket(C, lo=16)
+                cip = np.zeros(Cp, np.int64)
+                cjp = np.zeros(Cp, np.int64)
+                cip[:C] = ci
+                cjp[:C] = cj
+                gp = np.zeros((Cp, S, 3), np.float32)
+                gp[:C] = g
+                rp = np.zeros((Cp, 3), np.float32)
+                rp[:C] = rel_pred
+                gates = np.asarray(
+                    [ocfg.min_inlier_frac, ocfg.seed_xy, ocfg.seed_theta,
+                     err_gate],
+                    np.float32,
+                )
+                sel = np.asarray(
+                    lsel(
+                        d_store, d_storev, d_dirs,
+                        jnp.asarray(np.repeat(cjp, S).astype(np.int32)),
+                        jnp.asarray(np.repeat(cip, S).astype(np.int32)),
+                        jnp.asarray(gp.reshape(Cp * S, 3)),
+                        jnp.asarray(rp), jnp.asarray(gates),
+                    ),
+                    np.float64,
+                )[:C]
+                b_pose = sel[:, :3]
+                b_err = sel[:, 3]
+                b_cov = sel[:, 5:14].reshape(C, 3, 3)
+                b_frac = sel[:, 14]
+                accept = sel[:, 15] > 0.5
+            else:
+                mpk = pmatch_np(
+                    np.repeat(cj, S), np.repeat(ci, S), g.reshape(B, 3)
+                )
+                merr = mpk[:, 3].reshape(C, S)
+                minl = mpk[:, 4].reshape(C, S)
+                mpose = mpk[:, :3].reshape(C, S, 3)
+                mcov = mpk[:, 5:14].reshape(C, S, 3, 3)
+                nv = valid[cj].sum(axis=-1).astype(np.float64)
+                frac = minl / np.maximum(nv[:, None], 1.0)
+                dev = mpose - rel_pred[:, None, :].astype(np.float64)
+                dev_th = np.arctan2(
+                    np.sin(dev[..., 2]), np.cos(dev[..., 2])
+                )
+                in_basin = (
+                    (np.linalg.norm(dev[..., :2], axis=-1) <= ocfg.seed_xy)
+                    & (np.abs(dev_th) <= ocfg.seed_theta)
+                )
+                ok_seed = (frac >= ocfg.min_inlier_frac) & in_basin
+                err_m = np.where(ok_seed, merr, np.inf)
+                best = np.argmin(err_m, axis=1)
+                rows = np.arange(C)
+                b_pose = mpose[rows, best]
+                b_err = err_m[rows, best]
+                b_cov = mcov[rows, best]
+                b_frac = frac[rows, best]
+                accept = np.isfinite(b_err) & (b_err <= err_gate)
 
-        # 5. best seed per candidate + gates ------------------------------
-        nv = valid[cj].sum(axis=-1).astype(np.float64)  # valid beams of src
-        frac = minl / np.maximum(nv[:, None], 1.0)
-        # basin gate: a result that walked OUTSIDE the seeded basin was
-        # never verified by the lattice — in self-similar geometry
-        # (corridors, repeated corners) those are confident-but-aliased
-        # optima (measured: true corrections land within drift scale of
-        # the prediction, aliases 0.7-0.9 m out)
-        dev = mpose - rel_pred[:, None, :].astype(np.float64)
-        dev_th = np.arctan2(np.sin(dev[..., 2]), np.cos(dev[..., 2]))
-        in_basin = (
-            (np.linalg.norm(dev[..., :2], axis=-1) <= ocfg.seed_xy)
-            & (np.abs(dev_th) <= ocfg.seed_theta)
-        )
-        ok_seed = (frac >= ocfg.min_inlier_frac) & in_basin
-        err_m = np.where(ok_seed, merr, np.inf)
-        best = np.argmin(err_m, axis=1)
-        rows = np.arange(C)
-        accept = (
-            np.isfinite(err_m[rows, best])
-            & (err_m[rows, best] <= err_gate)
-        )
         new_edges = 0
         for k in np.nonzero(accept)[0]:
             candidates_all.append(
                 LoopEdge(
                     i=int(ci[k]), j=int(cj[k]),
-                    mean=mpose[k, best[k]],
-                    covariance=mcov[k, best[k]] + floor,
-                    error=float(err_m[k, best[k]]),
-                    inlier_frac=float(frac[k, best[k]]),
+                    mean=b_pose[k],
+                    covariance=b_cov[k] + floor,
+                    error=float(b_err[k]),
+                    inlier_frac=float(b_frac[k]),
                     round=rnd,
                 )
             )

@@ -128,6 +128,171 @@ def make_indexed_matcher(cfg: SLAMConfig, mesh: Mesh | None = None,
     return fn
 
 
+def _pack_result(r):
+    """(B, 14) f32: [pose(3), error(1), num_inliers(1), cov.flat(9)]."""
+    B = r.pose.shape[0]
+    return jnp.concatenate(
+        [
+            r.pose.astype(jnp.float32),
+            r.error.reshape(B, 1).astype(jnp.float32),
+            r.num_inliers.reshape(B, 1).astype(jnp.float32),
+            r.covariance.reshape(B, 9).astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def _gather_scan(store, idx, dirs):
+    """Gather scan rows from the store; reconstruct Cartesian points on
+    device when the store holds RANGES.
+
+    A (U, N) ranges store crosses the tunnel at a third of the bytes of a
+    (U, N, 2) points store — the beam directions are static per laser, so
+    they ship once as a tiny (N, 2) table and the x/y expansion is a free
+    VPU multiply after the gather. 3-D stores (motion-corrected points,
+    which have no shared direction table) pass through unchanged; the jit
+    cache keys on store rank, so both layouts share one factory."""
+    g = store[idx]
+    if g.ndim == 2:  # (B, N) ranges
+        return g[..., None] * dirs[None, :, :]
+    return g
+
+
+def make_chain_matcher(cfg: SLAMConfig):
+    """Packed chain match + on-device pose integration in ONE dispatch.
+
+    Returns (2B+1, 14): rows [:B] are the packed per-pair results
+    (see make_packed_indexed_matcher), rows [B:] are the integrated
+    trajectory compose_chain(pose0, rels) zero-padded to 14 columns.
+    One D2H fetch covers both — a separate integrate dispatch pays a full
+    tunnel RTT for ~1 ms of device work. Prefix-associativity makes the
+    batch padding harmless: padded rels only affect trajectory rows past
+    the real scan count, which the caller slices off."""
+    from tpu_slam import geometry as geo
+
+    key = ("chain", cfg.plicp, jax.default_backend())
+    hit = _MATCHER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    base = _match_fn(cfg)
+
+    def f(store, store_valid, dirs, src_idx, tgt_idx, guesses, pose0):
+        r = base(
+            _gather_scan(store, src_idx, dirs), store_valid[src_idx],
+            _gather_scan(store, tgt_idx, dirs), store_valid[tgt_idx],
+            guesses,
+        )
+        packed = _pack_result(r)
+        poses = geo.compose_chain(pose0, r.pose.astype(jnp.float32))
+        posep = jnp.pad(poses, ((0, 0), (0, 11)))
+        return jnp.concatenate([packed, posep], axis=0)
+
+    fn = jax.jit(f)
+    _MATCHER_CACHE[key] = fn
+    return fn
+
+
+def make_loop_selector(cfg: SLAMConfig, n_seeds: int):
+    """Multi-start loop match + per-candidate best-seed selection ON
+    DEVICE: one dispatch returns (C, 16) rows
+    ``[pose(3), error(1), num_inliers(1), cov.flat(9), frac(1), accept(1)]``
+    for the winning seed of each candidate, instead of shipping all C·S
+    packed rows to the host (9× the bytes at the default seed lattice) and
+    masking there.
+
+    Gate semantics mirror the host code exactly: a seed is eligible when
+    its inlier fraction clears ``min_frac`` AND its result stayed inside
+    the seeded basin (confident-but-aliased optima land outside it —
+    models/offline.py step 5); the best eligible seed must also clear the
+    mission-calibrated ``err_gate``."""
+    key = ("loopsel", cfg.plicp, n_seeds, jax.default_backend())
+    hit = _MATCHER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    base = _match_fn(cfg)
+    S = n_seeds
+
+    def f(store, store_valid, dirs, src_idx, tgt_idx, guesses,
+          rel_pred, gates):
+        # src_idx/tgt_idx/guesses: (C*S,), rel_pred: (C, 3)
+        # gates: (4,) = [min_frac, seed_xy, seed_theta, err_gate]
+        r = base(
+            _gather_scan(store, src_idx, dirs), store_valid[src_idx],
+            _gather_scan(store, tgt_idx, dirs), store_valid[tgt_idx],
+            guesses,
+        )
+        packed = _pack_result(r)  # (C*S, 14)
+        C = rel_pred.shape[0]
+        packed = packed.reshape(C, S, 14)
+        nv = jnp.sum(
+            store_valid[src_idx.reshape(C, S)[:, 0]], axis=-1
+        ).astype(jnp.float32)  # valid beams of the src scan, per candidate
+        frac = packed[:, :, 4] / jnp.maximum(nv[:, None], 1.0)
+        dev = packed[:, :, :3] - rel_pred[:, None, :]
+        dev_th = jnp.arctan2(jnp.sin(dev[:, :, 2]), jnp.cos(dev[:, :, 2]))
+        in_basin = (
+            (jnp.hypot(dev[:, :, 0], dev[:, :, 1]) <= gates[1])
+            & (jnp.abs(dev_th) <= gates[2])
+        )
+        ok = (frac >= gates[0]) & in_basin
+        err = jnp.where(ok, packed[:, :, 3], jnp.inf)
+        best = jnp.argmin(err, axis=1)  # (C,)
+        rows = jnp.arange(C)
+        sel = packed[rows, best]  # (C, 14)
+        best_err = err[rows, best]
+        accept = jnp.isfinite(best_err) & (best_err <= gates[3])
+        return jnp.concatenate(
+            [
+                sel,
+                frac[rows, best][:, None],
+                accept[:, None].astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+
+    fn = jax.jit(f)
+    _MATCHER_CACHE[key] = fn
+    return fn
+
+
+def make_packed_indexed_matcher(cfg: SLAMConfig, mesh: Mesh | None = None,
+                                axis: str = "data"):
+    """Indexed matcher whose result is ONE (B, 14) f32 array:
+    ``[pose(3), error(1), num_inliers(1), covariance.flat(9)]``.
+
+    Every synced device→host fetch pays a full tunnel round-trip; the
+    offline pipeline reads four result fields per stage, so fetching the
+    PLICPResult leaves costs 4 RTTs where one packed array costs 1
+    (measured ~10-40 ms/RTT through the axon tunnel — comparable to the
+    whole batched match compute at mission shapes)."""
+    key = ("packed", cfg.plicp, mesh, axis, jax.default_backend())
+    hit = _MATCHER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    base = _match_fn(cfg)
+
+    def f(store, store_valid, dirs, src_idx, tgt_idx, guesses):
+        r = base(
+            _gather_scan(store, src_idx, dirs), store_valid[src_idx],
+            _gather_scan(store, tgt_idx, dirs), store_valid[tgt_idx],
+            guesses,
+        )
+        return _pack_result(r)
+
+    if mesh is None:
+        fn = jax.jit(f)
+    else:
+        repl = NamedSharding(mesh, P())
+        batch = NamedSharding(mesh, P(axis))
+        fn = jax.jit(
+            f,
+            in_shardings=(repl, repl, repl, batch, batch, batch),
+            out_shardings=batch,
+        )
+    _MATCHER_CACHE[key] = fn
+    return fn
+
+
 def _match_fn(cfg: SLAMConfig):
     """The per-backend batched PL-ICP callable (unjitted)."""
     if jax.default_backend() == "tpu" and cfg.plicp.use_point_to_line_distance:

@@ -839,6 +839,44 @@ class PoseGraphSolver:
             )
         )
 
+    def add_nodes(self, node_ids, poses) -> None:
+        """Vectorized add_node for mission-scale graphs."""
+        poses = np.asarray(poses, np.float64)
+        base = len(self._poses)
+        for k, nid in enumerate(node_ids):
+            self._ids[nid] = base + k
+        self._poses.extend(poses)
+
+    def add_constraints(
+        self, ids_from, ids_to, means, covariances=None, informations=None
+    ) -> None:
+        """Vectorized add_constraint: ONE stacked 3×3 inverse for the whole
+        batch — the per-edge Python-loop inverse dominates host graph-build
+        time at mission scale (~1.3k edges per offline solve round)."""
+        means = np.asarray(means, np.float64)
+        if informations is None:
+            c = np.asarray(covariances, np.float64)
+            try:
+                informations = np.linalg.inv(c)
+            except np.linalg.LinAlgError:
+                # regularize ONLY the degenerate members (same semantics as
+                # the scalar path's per-edge fallback)
+                informations = np.empty_like(c)
+                for k in range(len(c)):
+                    try:
+                        informations[k] = np.linalg.inv(c[k])
+                    except np.linalg.LinAlgError:
+                        informations[k] = np.linalg.inv(
+                            c[k] + 1e-9 * np.eye(3)
+                        )
+        else:
+            informations = np.asarray(informations, np.float64)
+        ids = self._ids
+        self._edges.extend(
+            (ids[int(a)], ids[int(b)], m, inf)
+            for a, b, m, inf in zip(ids_from, ids_to, means, informations)
+        )
+
     def get_poses(self) -> np.ndarray:
         return np.asarray(self._poses)
 
