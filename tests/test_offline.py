@@ -190,3 +190,84 @@ def test_offline_undistortion_mission():
     ate_raw = ate_rmse(raw.chain_poses, seq.gt_poses)
     ate_fix = ate_rmse(fixed.chain_poses, seq.gt_poses)
     assert ate_fix < ate_raw * 0.5, (ate_raw, ate_fix)
+
+
+def test_loop_selector_matches_host_gating():
+    """make_loop_selector (device-side best-seed argmin + inlier/basin/
+    error gates, fetched as (C, 16) winner rows) must reproduce the host
+    reference computation over the full packed (C*S, 14) results."""
+    from tpu_slam.parallel.distributed_step import (
+        make_loop_selector, make_packed_indexed_matcher,
+    )
+
+    cfg, scans, seq, odom = _corridor_mission()
+    ranges = np.asarray(scans.ranges)
+    valid = np.asarray(scans.valid)
+    angles = np.asarray(scans.angles)
+    a0 = angles[0] if angles.ndim == 2 else angles
+    T = ranges.shape[0]
+    store = np.where(valid & np.isfinite(ranges), ranges, 0.0).astype(
+        np.float32
+    )
+    dirs = np.stack([np.cos(a0), np.sin(a0)], -1).astype(np.float32)
+
+    # genuine revisit candidates (from ground-truth proximity) with a
+    # 3-seed lattice; relatives predicted from ground truth so the gates
+    # have real accepts to exercise
+    cands = _loop_candidates(seq.gt_poses, cfg.offline, set())
+    assert len(cands) >= 4
+    cands = cands[:8]
+    C, S = len(cands), 3
+    ci = np.asarray([c[0] for c in cands])
+    cj = np.asarray([c[1] for c in cands])
+    from tpu_slam import geometry_np as gnp
+
+    rel = gnp.relative(
+        seq.gt_poses[ci], seq.gt_poses[cj]
+    ).astype(np.float32)
+    seeds = np.asarray(
+        [[0, 0, 0], [0.3, -0.2, 0.05], [-0.25, 0.3, -0.04]], np.float32
+    )
+    g = (rel[:, None, :] + seeds[None]).reshape(C * S, 3)
+    si = np.repeat(cj, S).astype(np.int32)
+    ti = np.repeat(ci, S).astype(np.int32)
+    gates = np.asarray([0.35, 0.5, 0.21, 0.06], np.float32)
+
+    ds, dv, dd = jnp.asarray(store), jnp.asarray(valid), jnp.asarray(dirs)
+    sel = np.asarray(
+        make_loop_selector(cfg, S)(
+            ds, dv, dd, jnp.asarray(si), jnp.asarray(ti), jnp.asarray(g),
+            jnp.asarray(rel), jnp.asarray(gates),
+        )
+    )
+    pk = np.asarray(
+        make_packed_indexed_matcher(cfg)(
+            ds, dv, dd, jnp.asarray(si), jnp.asarray(ti), jnp.asarray(g)
+        ),
+        np.float64,
+    )
+    # host reference: same gates over the full packed results
+    err = pk[:, 3].reshape(C, S)
+    inl = pk[:, 4].reshape(C, S)
+    pose = pk[:, :3].reshape(C, S, 3)
+    nv = valid[cj].sum(-1)
+    frac = inl / np.maximum(nv[:, None], 1)
+    dev = pose - rel[:, None].astype(np.float64)
+    dth = np.arctan2(np.sin(dev[..., 2]), np.cos(dev[..., 2]))
+    ok = (
+        (frac >= gates[0])
+        & (np.hypot(dev[..., 0], dev[..., 1]) <= gates[1])
+        & (np.abs(dth) <= gates[2])
+    )
+    err_m = np.where(ok, err, np.inf)
+    best = np.argmin(err_m, 1)
+    rows = np.arange(C)
+    accept = np.isfinite(err_m[rows, best]) & (err_m[rows, best] <= gates[3])
+    assert accept.any(), "test must exercise accepted candidates"
+    np.testing.assert_array_equal(sel[:, 15] > 0.5, accept)
+    np.testing.assert_allclose(
+        sel[:, :3], pose[rows, best], rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        sel[:, 14], frac[rows, best], rtol=1e-6, atol=1e-6
+    )

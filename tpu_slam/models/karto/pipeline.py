@@ -252,6 +252,7 @@ class KartoSLAM:
         )
         self.solver = PoseGraphSolver(cfg.solver, mesh=mesh)
         self._pending = None  # in-flight async back-end solve
+        self._flushed_edges = -1  # edge count at the last flush-time solve
         self.scans: list[ScanRecord] = []
         self.adjacency: dict[int, set[int]] = {}
         # (i, j, kind) per solver constraint — kind ∈ {"sequential",
@@ -922,8 +923,30 @@ class KartoSLAM:
             )
 
     def flush(self):
-        """Block until any in-flight back-end solve is applied."""
+        """Block until any in-flight back-end solve is applied, then bring
+        the mission to the reference's fully-solved end state.
+
+        Async mode trades correction latency for pipeline overlap DURING
+        the mission: scans and edges accepted between a solve dispatch and
+        its harvest only ever receive the chain-consistent propagation, and
+        closures found after the last dispatch are never solved at all. The
+        reference's blocking CorrectPoses (Mapper.cpp:1397-1414) leaves no
+        such tail — measured on the 1-lap outdoor online mission, skipping
+        this final solve costs ATE 0.142 vs 0.024 m. One synchronous solve
+        over the complete graph (skipped when nothing changed since the
+        last one) restores parity."""
         self._poll_correction(force=True)
+        if (
+            self.cfg.karto.async_loop_closure
+            and self.loop_closures
+            and self.solver.num_edges != self._flushed_edges
+        ):
+            with self.timer.stage("solve"):
+                self.solver.compute()
+            out = self.solver.get_poses()
+            for rec, p in zip(self.scans, out):
+                rec.corrected_pose = np.asarray(p, np.float64)
+            self._flushed_edges = self.solver.num_edges
 
     def _try_close_loop(self, rec: ScanRecord) -> bool:
         """TryCloseLoop (Mapper.cpp:976-1051).

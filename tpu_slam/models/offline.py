@@ -10,16 +10,20 @@ optimization, map regeneration — as a handful of BATCHED programs over the
 entire mission:
 
   1. every consecutive scan pair is matched in ONE batched PL-ICP call
-     (the `make_batched_matcher` throughput workhorse, shardable over a
-     device mesh for data parallelism);
+     against a once-uploaded mission scan store (ranges + static beam
+     directions; `make_chain_matcher` fuses the pose integration into
+     the same dispatch — shardable over a device mesh for data
+     parallelism via `make_packed_indexed_matcher`);
   2. the odometry chain integrates in one log-depth
-     `geometry.compose_chain` (`lax.associative_scan`);
+     `geometry.compose_chain` (`lax.associative_scan`) riding the chain
+     dispatch;
   3. loop candidates come from a pose-proximity sweep (host numpy — tiny);
   4. candidate pairs are matched by MULTI-START batched PL-ICP: a seed
      lattice around the predicted relative pose brute-forces the
      convergence basin with batch throughput instead of the reference's
      coarse-to-fine correlation grids (Mapper.cpp:184-291) — C·S matches
-     are one kernel call;
+     plus best-seed selection and gating are one kernel call
+     (`make_loop_selector`);
   5. accepted loops + chain edges feed the device-resident LM pose-graph
      solve (`solver/pose_graph.py`, the SPA2d replacement);
   6. detection→match→solve repeats (round 2 sees drift-corrected poses and
